@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one engine operator from SURVEY.md §2
+against the driver-provided testdata tables; ``oracle_sql()`` holds the
+DuckDB-equivalent SQL. Engine code lives in ``typical_spark/``.
 """
 
 from __future__ import annotations
@@ -12,27 +10,317 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from typical_spark.compiler import compile_table_spec
+from typical_spark.operators.ordering import ordering_violations
+from typical_spark.operators.referential import referential_violations
+from typical_spark.operators.stats import column_stats, grouped_stats
+from typical_spark.operators.uniqueness import duplicate_key_counts, duplicate_rows
+from typical_spark.sources.tables import load_table
+from typical_spark.specs import (
+    EnumCheck,
+    FieldSpec,
+    NotNullCheck,
+    NumberCheck,
+    TableSpec,
+    TextCheck,
+    TimestampRangeCheck,
+)
+
+# ---------------------------------------------------------------------------
+# Validation specs for the driver-provided tables (the same CheckSpec ->
+# ValidationPlan machinery the transcript engine uses; SURVEY.md Table A).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+EVENTS_SPEC = TableSpec(
+    name="events",
+    key_columns=("event_id",),
+    fields=(
+        FieldSpec("event_id", "long", nullable=False, checks=(NotNullCheck(), NumberCheck(ge=0))),
+        FieldSpec("event_type", "string", nullable=False,
+                  checks=(NotNullCheck(),
+                          EnumCheck(values=("click", "view", "signup", "purchase")))),
+        FieldSpec("user_id", "long", nullable=False, checks=(NotNullCheck(), NumberCheck(ge=0))),
+        FieldSpec("value", "double", checks=(NumberCheck(ge=0.0, lt=1000.0),)),
+        FieldSpec("props", "string", checks=(TextCheck(regex=r"\{.*\}$"),)),
+        FieldSpec("ts", "timestamp", nullable=False,
+                  checks=(NotNullCheck(),
+                          TimestampRangeCheck(min_ts=_dt.datetime(2020, 1, 1),
+                                              max_ts=_dt.datetime(2030, 1, 1)))),
+    ),
+)
+
+ORDERS_SPEC = TableSpec(
+    name="orders",
+    key_columns=("o_orderkey",),
+    fields=(
+        FieldSpec("o_orderkey", "long", nullable=False, checks=(NotNullCheck(),)),
+        FieldSpec("o_orderstatus", "string", nullable=False,
+                  checks=(NotNullCheck(), EnumCheck(values=("O", "F", "P")))),
+        FieldSpec("o_totalprice", "double", checks=(NumberCheck(gt=0.0),)),
+        FieldSpec("o_orderpriority", "string",
+                  checks=(TextCheck(regex=r"[1-5]-[A-Z]+$", min_length=3, max_length=20),)),
+    ),
+)
+
+
+def _violations_query(spec: TableSpec, table: str):
+    plan = compile_table_spec(spec)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        return plan.violations(df, with_message=False)
+
+    return run
+
+
+def _violations_oracle(selects: list[str]) -> str:
+    return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_events_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _violations_query(EVENTS_SPEC, "events")(spark, sf_dir)
+
+
+def q_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _violations_query(ORDERS_SPEC, "orders")(spark, sf_dir)
+
+
+def q_lineitem_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return duplicate_key_counts(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", F.col("n_rows").cast("long").alias("n_rows")
+    )
+
+
+def q_orders_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicate detection beyond first occurrence, keep-first by o_orderdate
+    od = load_table(spark, sf_dir, "orders")
+    return duplicate_rows(od, ["o_custkey"], order_by=["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", "o_custkey", F.col("dup_rank").cast("int").alias("dup_rank")
+    )
+
+
+def q_orders_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return referential_violations(od, cust, ["o_custkey"], ["c_custkey"]).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_lineitem_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    return referential_violations(li, od, ["l_orderkey"], ["o_orderkey"]).select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+
+
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    s = column_stats(li, exact=True)
+    return s.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 4).alias("avg_r"),
+        F.round("stddev_value", 4).alias("std_r"),
+    )
+
+
+def q_orders_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    g = grouped_stats(od, "o_orderstatus", "o_totalprice", exact=True)
+    return g.select(
+        "o_orderstatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("min_value", 4).alias("min_r"),
+        F.round("max_value", 4).alias("max_r"),
+        F.round("avg_value", 4).alias("avg_r"),
+        F.round("stddev_value", 4).alias("std_r"),
+    )
+
+
+def q_events_ts_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ordering_violations(
+        ev, ["user_id"], "event_id", ts_col="ts",
+        require_contiguous=False, require_ts_monotonic=True,
+    )
+    return v.where(F.col("check_id") == "ts_out_of_order").select(
+        "user_id", "event_id", "check_id", "observed"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused multi-check validation pass over events at sf0.001."""
+    return q_events_violations(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "events_violations": q_events_violations,
+        "orders_violations": q_orders_violations,
+        "lineitem_dup_keys": q_lineitem_dup_keys,
+        "orders_dup_rows": q_orders_dup_rows,
+        "orders_referential": q_orders_referential,
+        "lineitem_referential": q_lineitem_referential,
+        "lineitem_stats": q_lineitem_stats,
+        "orders_grouped_stats": q_orders_grouped_stats,
+        "events_ts_ordering": q_events_ts_ordering,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the same tables)
+# ---------------------------------------------------------------------------
+
+_EVENTS_VIOLATIONS_SQL = _violations_oracle([
+    """SELECT event_id, 'event_id' AS "column", 'not_null' AS check_id,
+              CAST(NULL AS VARCHAR) AS observed, 'value is not null' AS expected
+       FROM events WHERE event_id IS NULL""",
+    """SELECT event_id, 'event_id', 'number_range', CAST(event_id AS VARCHAR),
+              'number: ge=0' FROM events WHERE event_id IS NOT NULL AND NOT (event_id >= 0)""",
+    """SELECT event_id, 'event_type', 'not_null', CAST(NULL AS VARCHAR),
+              'value is not null' FROM events WHERE event_type IS NULL""",
+    """SELECT event_id, 'event_type', 'enum', event_type,
+              'one of [''click'', ''purchase'', ''signup'', ''view'']'
+       FROM events WHERE event_type IS NOT NULL
+         AND event_type NOT IN ('click','view','signup','purchase')""",
+    """SELECT event_id, 'user_id', 'not_null', CAST(NULL AS VARCHAR),
+              'value is not null' FROM events WHERE user_id IS NULL""",
+    """SELECT event_id, 'user_id', 'number_range', CAST(user_id AS VARCHAR),
+              'number: ge=0' FROM events WHERE user_id IS NOT NULL AND NOT (user_id >= 0)""",
+    """SELECT event_id, 'value', 'number_range', CAST(value AS VARCHAR),
+              'number: ge=0.0, lt=1000.0'
+       FROM events WHERE value IS NOT NULL AND NOT (value >= 0.0 AND value < 1000.0)""",
+    """SELECT event_id, 'props', 'text_regex', props, 'matches ''^\\{.*\\}$'''
+       FROM events WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$')""",
+    """SELECT event_id, 'ts', 'not_null', CAST(NULL AS VARCHAR),
+              'value is not null' FROM events WHERE ts IS NULL""",
+    """SELECT event_id, 'ts', 'ts_range', CAST(ts AS VARCHAR),
+              'ts in [2020-01-01 00:00:00, 2030-01-01 00:00:00]'
+       FROM events WHERE ts IS NOT NULL
+         AND NOT (ts >= TIMESTAMP '2020-01-01' AND ts < TIMESTAMP '2030-01-01')""",
+])
+
+_ORDERS_VIOLATIONS_SQL = _violations_oracle([
+    """SELECT o_orderkey, 'o_orderkey' AS "column", 'not_null' AS check_id,
+              CAST(NULL AS VARCHAR) AS observed, 'value is not null' AS expected
+       FROM orders WHERE o_orderkey IS NULL""",
+    """SELECT o_orderkey, 'o_orderstatus', 'not_null', CAST(NULL AS VARCHAR),
+              'value is not null' FROM orders WHERE o_orderstatus IS NULL""",
+    """SELECT o_orderkey, 'o_orderstatus', 'enum', o_orderstatus,
+              'one of [''F'', ''O'', ''P'']'
+       FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')""",
+    """SELECT o_orderkey, 'o_totalprice', 'number_range', CAST(o_totalprice AS VARCHAR),
+              'number: gt=0.0'
+       FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice > 0.0)""",
+    """SELECT o_orderkey, 'o_orderpriority', 'text_length',
+              CAST(length(o_orderpriority) AS VARCHAR), '3 <= length <= 20'
+       FROM orders WHERE o_orderpriority IS NOT NULL
+         AND NOT (length(o_orderpriority) BETWEEN 3 AND 20)""",
+    """SELECT o_orderkey, 'o_orderpriority', 'text_regex', o_orderpriority,
+              'matches ''^[1-5]-[A-Z]+$'''
+       FROM orders WHERE o_orderpriority IS NOT NULL
+         AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')""",
+])
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "events_violations": _EVENTS_VIOLATIONS_SQL,
+        "orders_violations": _ORDERS_VIOLATIONS_SQL,
+        "lineitem_dup_keys": """
+            SELECT l_orderkey, l_linenumber, count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "orders_dup_rows": """
+            SELECT o_orderkey, o_custkey, dup_rank FROM (
+                SELECT o_orderkey, o_custkey,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS INT) AS dup_rank
+                FROM orders
+            ) WHERE dup_rank > 1
+        """,
+        "orders_referential": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "lineitem_referential": """
+            SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        """,
+        "lineitem_stats": """
+            SELECT * FROM (
+              SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+                     count(*) - count(l_orderkey) AS n_null,
+                     count(DISTINCT l_orderkey) AS n_distinct,
+                     CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+                     CAST(max(l_orderkey) AS VARCHAR) AS max_value,
+                     round(avg(l_orderkey), 4) AS avg_r,
+                     round(stddev_samp(l_orderkey), 4) AS std_r
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+                     count(DISTINCT l_quantity),
+                     CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
+                     round(avg(l_quantity), 4), round(stddev_samp(l_quantity), 4)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+                     count(DISTINCT l_extendedprice),
+                     CAST(min(l_extendedprice) AS VARCHAR), CAST(max(l_extendedprice) AS VARCHAR),
+                     round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+                     count(DISTINCT l_returnflag),
+                     CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR),
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+              FROM lineitem
+            )
+        """,
+        "orders_grouped_stats": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   count(*) - count(o_totalprice) AS n_null,
+                   count(DISTINCT o_totalprice) AS n_distinct,
+                   round(min(o_totalprice), 4) AS min_r,
+                   round(max(o_totalprice), 4) AS max_r,
+                   round(avg(o_totalprice), 4) AS avg_r,
+                   round(stddev_samp(o_totalprice), 4) AS std_r
+            FROM orders GROUP BY ROLLUP (o_orderstatus)
+        """,
+        "events_ts_ordering": """
+            SELECT user_id, event_id, 'ts_out_of_order' AS check_id,
+                   CAST(ts AS VARCHAR) AS observed
+            FROM (
+                SELECT user_id, event_id, ts,
+                       lag(ts) OVER w AS prev_ts,
+                       lag(event_id) OVER w AS prev_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            )
+            WHERE prev_ts IS NOT NULL AND ts IS NOT NULL
+              AND ts < prev_ts AND event_id - prev_id > 0
+        """,
+    }

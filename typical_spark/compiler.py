@@ -1,0 +1,212 @@
+"""Spec compiler: CheckSpec -> Catalyst Column expressions -> ValidationPlan.
+
+This is the distributed analog of typical's constraint factory + codegen
+(reference: typic/constraints/factory.py:89-144 builds a Constraints tree;
+typic/gen.py:59-203 string-templates a specialized Python validator that
+contains ONLY the configured checks). We keep the same "no computation
+wasted" property — each compiled plan contains exactly the configured
+predicates, nothing else — but emit Catalyst `Column` ASTs so every check
+runs JVM-side inside whole-stage codegen instead of the Python interpreter.
+
+Null semantics (reference typic/constraints/common.py:91,272-287): a null
+value short-circuits every value-check — NULL is only ever reported by
+NotNullCheck. Violation condition for a value-check C on column c is
+therefore `c IS NOT NULL AND NOT C(c)`, which keeps each predicate
+null-intolerant and pushdown-friendly.
+
+Violation rows mirror ConstraintValueError's message format
+"{field}: value <{value!r}> fails constraints: {constraints}"
+(reference typic/constraints/common.py:169-173) as structured fields
+(column, check_id, observed, expected, message).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from typical_spark.specs import (
+    ArrayCheck,
+    Check,
+    EnumCheck,
+    FieldSpec,
+    NotNullCheck,
+    NumberCheck,
+    TableSpec,
+    TextCheck,
+    TimestampRangeCheck,
+)
+
+
+@dataclass(frozen=True)
+class CompiledCheck:
+    """One check compiled against one column.
+
+    violation_cond: Column<boolean> — true iff this row violates the check.
+    observed: Column<string> — the offending value, stringified.
+    """
+
+    column: str
+    check_id: str
+    expected: str
+    violation_cond: Column
+    observed: Column
+
+
+def _value_expr(fs: FieldSpec) -> Column:
+    """The (possibly transformed) value a field's checks run against.
+
+    Mutating pre-checks from the reference (strip_whitespace text.py:50-52,
+    curtail_length text.py:48-50, array unique dedup array.py:139-141) are
+    projections applied before predicates.
+    """
+    c = F.col(fs.name)
+    for chk in fs.checks:
+        if isinstance(chk, TextCheck):
+            if chk.strip_whitespace:
+                c = F.trim(c)
+            if chk.curtail_length is not None:
+                c = F.substring(c, 1, chk.curtail_length)
+        elif isinstance(chk, ArrayCheck) and chk.unique:
+            c = F.array_distinct(c)
+    return c
+
+
+def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledCheck]:
+    """Compile one Check into CompiledCheck(s). Pure driver-side dispatch —
+    the analog of the factory's MRO dispatch (reference factory.py:396-434)."""
+    col, name = value, fs.name
+    nn = col.isNotNull()
+    obs_str = col.cast("string")
+
+    def cc(cond: Column, check_id: str | None = None, expected: str | None = None,
+           observed: Column | None = None) -> CompiledCheck:
+        return CompiledCheck(
+            column=name,
+            check_id=check_id or chk.check_id(),
+            expected=expected or chk.describe(),
+            violation_cond=cond,
+            observed=observed if observed is not None else obs_str,
+        )
+
+    if isinstance(chk, NotNullCheck):
+        return [cc(col.isNull(), observed=F.lit(None).cast("string"))]
+
+    if isinstance(chk, NumberCheck):
+        preds = []
+        if chk.gt is not None:
+            preds.append(col > F.lit(chk.gt))
+        if chk.ge is not None:
+            preds.append(col >= F.lit(chk.ge))
+        if chk.lt is not None:
+            preds.append(col < F.lit(chk.lt))
+        if chk.le is not None:
+            preds.append(col <= F.lit(chk.le))
+        if chk.multiple_of is not None:
+            preds.append(col % F.lit(chk.multiple_of) == 0)
+        ok = preds[0]
+        for p in preds[1:]:
+            ok = ok & p
+        return [cc(nn & ~ok)]
+
+    if isinstance(chk, TextCheck):
+        out = []
+        ln = F.length(col)
+        if chk.min_length is not None or chk.max_length is not None:
+            lo = chk.min_length if chk.min_length is not None else 0
+            ok = ln >= F.lit(lo)
+            if chk.max_length is not None:
+                ok = ok & (ln <= F.lit(chk.max_length))
+            out.append(cc(nn & ~ok, check_id="text_length",
+                          expected=f"{lo} <= length <= {chk.max_length}",
+                          observed=ln.cast("string")))
+        if chk.regex is not None:
+            # anchored-at-start match (re.match), reference text.py:41-42
+            pat = chk.regex if chk.regex.startswith("^") else "^" + chk.regex
+            out.append(cc(nn & ~col.rlike(pat), check_id="text_regex",
+                          expected=f"matches '{pat}'"))
+        return out
+
+    if isinstance(chk, EnumCheck):
+        return [cc(nn & ~col.isin(list(chk.values)))]
+
+    if isinstance(chk, TimestampRangeCheck):
+        ok = F.lit(True)
+        if chk.min_ts is not None:
+            ok = ok & (col >= F.lit(chk.min_ts))
+        if chk.max_ts is not None:
+            ok = ok & (col < F.lit(chk.max_ts))
+        return [cc(nn & ~ok)]
+
+    if isinstance(chk, ArrayCheck):
+        out = []
+        sz = F.size(col)
+        if chk.min_items is not None or chk.max_items is not None:
+            lo = chk.min_items if chk.min_items is not None else 0
+            ok = sz >= F.lit(lo)
+            if chk.max_items is not None:
+                ok = ok & (sz <= F.lit(chk.max_items))
+            out.append(cc(nn & ~ok, check_id="array_size",
+                          expected=chk.describe(), observed=sz.cast("string")))
+        if chk.reject_dupes:
+            out.append(cc(nn & (F.size(F.array_distinct(col)) < sz),
+                          check_id="array_unique", expected="elements unique",
+                          observed=sz.cast("string")))
+        return out
+
+    raise TypeError(f"no compiler for check type {type(chk).__name__}")
+
+
+def coercion_expr(fs: FieldSpec) -> Column | None:
+    """Repair projection for `coerce_from` fields — the distributed
+    transmute (reference typic/serde/des.py). Returns the coerced column or
+    None if the field needs no coercion. Failed coercion -> NULL, which the
+    plan converts into a `coerce` violation (strict-mode analog,
+    reference typic/strict.py:6-68)."""
+    if fs.coerce_from is None:
+        return None
+    src = F.col(fs.name)
+    how = fs.coerce_from
+    if how == "epoch":  # epoch seconds int/float -> timestamp, des.py:178-196
+        return F.timestamp_seconds(src.try_cast("double"))
+    if how == "bool_like":
+        # reference des.py:281-288 + util.py:100-131 safe_eval bool forms
+        low = F.lower(F.trim(src.cast("string")))
+        return (
+            F.when(low.isin("true", "1", "yes", "y", "on"), F.lit(True))
+            .when(low.isin("false", "0", "no", "n", "off"), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    if how.startswith("json:"):  # des via JSON parse, util.py:100-131
+        return F.from_json(src.cast("string"), how[len("json:"):])
+    # default: plain cast attempt (reference des.py:353-368 builtin ctor)
+    return src.try_cast(fs.dtype)
+
+
+def compile_table_spec(spec: TableSpec) -> "ValidationPlan":
+    """Compile a TableSpec into a ValidationPlan (the analog of resolving a
+    SerdeProtocol once per type, reference resolver.py:682-740 — done once,
+    driver-side, then applied to any number of partitions)."""
+    from typical_spark.plans.validation import ValidationPlan
+
+    compiled: list[CompiledCheck] = []
+    coercions: dict[str, Column] = {}
+    transforms: dict[str, Column] = {}
+    for fs in spec.fields:
+        ce = coercion_expr(fs)
+        if ce is not None:
+            coercions[fs.name] = ce
+        val = _value_expr(fs)
+        # only record a transform projection if it's not the bare column
+        if any(
+            (isinstance(c, TextCheck) and (c.strip_whitespace or c.curtail_length))
+            or (isinstance(c, ArrayCheck) and c.unique)
+            for c in fs.checks
+        ):
+            transforms[fs.name] = val
+        for chk in fs.checks:
+            compiled.extend(compile_check(fs, chk, val))
+    return ValidationPlan(spec=spec, checks=tuple(compiled),
+                          coercions=coercions, transforms=transforms)

@@ -1,0 +1,107 @@
+"""Per-column statistics — the table-level generalization of the
+reference's per-value introspection (len(), key-set size: typic/constraints
+array.py:121-134, mapping.py:222-241), per SURVEY.md Table B "Aggregations".
+
+One single aggregation pass computes every column's stats at once; Spark's
+hash aggregate already does two-level (partial map-side + final) execution,
+so the shuffle carries one partial row per input partition regardless of
+data size. Distinct counts default to HyperLogLog (`approx_count_distinct`,
+rsd configurable) — the only sane choice at 10^12 rows; `exact=True` is for
+oracle comparison at test scale.
+
+Output is long-format: one row per column, so verdict rules can join on
+column name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def column_stats(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """One row per column:
+    (column, n_rows, n_null, null_rate, n_distinct,
+     min_value, max_value, avg_value, stddev_value)  — numeric stats NULL
+    for non-numeric columns; min/max reported as strings for uniformity.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = list(columns or fields)
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if exact:
+            aggs.append(F.count_distinct(col).alias(f"{c}__dist"))
+        else:
+            aggs.append(F.approx_count_distinct(col, rsd).alias(f"{c}__dist"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.avg(col).cast("double").alias(f"{c}__avg"))
+            aggs.append(F.stddev_samp(col).cast("double").alias(f"{c}__std"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__avg"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__std"))
+
+    wide = df.agg(*aggs)
+
+    # pivot wide -> long with a single stack (still one aggregation job)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            (F.col(f"{c}__nulls") / F.col("__n")).alias("null_rate"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+            F.col(f"{c}__avg").alias("avg_value"),
+            F.col(f"{c}__std").alias("stddev_value"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def grouped_stats(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    exact: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Per-partition stats for one numeric column, plus a global rollup row
+    (group NULL) via GROUPING SETS-equivalent rollup — feeds verdicts and
+    drift comparison. Single shuffle on the (small) group key."""
+    dist = (
+        F.count_distinct(F.col(value_col))
+        if exact
+        else F.approx_count_distinct(F.col(value_col), rsd)
+    )
+    return (
+        df.rollup(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(value_col).isNull().cast("long")).alias("n_null"),
+            dist.alias("n_distinct"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.avg(value_col).alias("avg_value"),
+            F.stddev_samp(value_col).alias("stddev_value"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""SparkSession construction tuned for the validation engine.
+
+Test/bench runs use local[N]; the same configs are what we would ship in
+spark-defaults for a multi-executor cluster (AQE on, skew-join splitting on,
+Arrow for every pandas-UDF exchange). Nothing here is local-mode-specific
+except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "typical-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: int N -> local[N]; None -> $SPARK_GRAFT_CPUS or local[*].
+    shuffle_partitions: defaults to the core count (right-sized for the
+    local harness; on a real cluster this would be ~2-3x total cores or
+    left to AQE coalescing, which is enabled).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    ncores = os.cpu_count() if cores in ("*", None) else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(ncores), 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDF / toPandas exchange — required by the
+        # "vectorized pandas/Arrow UDFs only" rule (no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # The engine validates dirty data: casts must yield NULL (which we
+        # turn into violation rows), never throw mid-job. All intentional
+        # coercions also use try_* explicitly; this covers implicit ones.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,247 @@
+"""Declarative constraint specs — the engine's schema language.
+
+These frozen dataclasses are the distributed analog of typical's
+constraint classes (reference: typic/constraints/number.py:36-109,
+text.py:12-73, array.py:92-173, common.py:472-561). A user declares a
+`TableSpec` of `FieldSpec`s; `typical_spark.compiler.compile_table_spec`
+turns it into a `ValidationPlan` of Catalyst expressions.
+
+Semantics faithfully mirrored from the reference:
+- nullable short-circuit: None is always valid for a nullable field
+  (reference: typic/constraints/common.py:91 NULLABLES, :272-287) —
+  compiled as `col.isNull() OR (pred)` so predicates stay pushable.
+- text: anchored-at-start regex match (`re.match` semantics,
+  reference: typic/constraints/text.py:41-42), strip_whitespace and
+  curtail_length are MUTATING pre-checks (text.py:48-52) — compiled as
+  projections applied before predicates.
+- number: gt/ge/lt/le/multiple_of (number.py:49-95).
+- enum/Literal: membership (common.py:472-561) -> `isin`.
+- arrays: size bounds + unique-as-dedup (array.py:30-141).
+- coercion ("transmute", reference typic/serde/des.py): declared per
+  field via `coerce_from`; failures become violations in strict mode or
+  nulls+violations in coerce mode (reference strict-mode analog:
+  typic/strict.py:6-68).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field, replace
+from typing import Sequence
+
+
+@dataclass(frozen=True)
+class Check:
+    """Base class for per-field checks. `check_id` names the check in
+    violation rows (analog of the constraint repr embedded in
+    ConstraintValueError messages, reference common.py:169-173)."""
+
+    def check_id(self) -> str:
+        return type(self).__name__
+
+    def describe(self) -> str:  # "expected" payload of a violation row
+        return self.check_id()
+
+
+@dataclass(frozen=True)
+class NotNullCheck(Check):
+    def check_id(self) -> str:
+        return "not_null"
+
+    def describe(self) -> str:
+        return "value is not null"
+
+
+@dataclass(frozen=True)
+class NumberCheck(Check):
+    """gt/ge/lt/le/multiple_of — reference typic/constraints/number.py:49-95."""
+
+    gt: float | int | None = None
+    ge: float | int | None = None
+    lt: float | int | None = None
+    le: float | int | None = None
+    multiple_of: int | None = None
+
+    def check_id(self) -> str:
+        return "number_range"
+
+    def describe(self) -> str:
+        parts = []
+        for name in ("gt", "ge", "lt", "le", "multiple_of"):
+            v = getattr(self, name)
+            if v is not None:
+                parts.append(f"{name}={v}")
+        return "number: " + ", ".join(parts)
+
+
+@dataclass(frozen=True)
+class TextCheck(Check):
+    """Length bounds + anchored regex — reference typic/constraints/text.py.
+
+    strip_whitespace / curtail_length are mutating transforms applied
+    before validation (text.py:48-52): the compiler emits them as
+    projections on the value column.
+    """
+
+    min_length: int | None = None
+    max_length: int | None = None
+    regex: str | None = None  # anchored at start, re.match semantics
+    strip_whitespace: bool = False
+    curtail_length: int | None = None
+
+    def check_id(self) -> str:
+        return "text"
+
+    def describe(self) -> str:
+        parts = []
+        if self.min_length is not None:
+            parts.append(f"min_length={self.min_length}")
+        if self.max_length is not None:
+            parts.append(f"max_length={self.max_length}")
+        if self.regex is not None:
+            parts.append(f"regex={self.regex!r}")
+        return "text: " + ", ".join(parts)
+
+
+@dataclass(frozen=True)
+class EnumCheck(Check):
+    """Membership in a closed value set — reference common.py:472-561
+    (EnumConstraints / LiteralConstraints) -> Catalyst `isin`."""
+
+    values: tuple = ()
+
+    def check_id(self) -> str:
+        return "enum"
+
+    def describe(self) -> str:
+        return f"one of {sorted(map(str, self.values))}"
+
+
+@dataclass(frozen=True)
+class TimestampRangeCheck(Check):
+    """Timestamp parse + range — reference des.py:178-233 date handling
+    generalized with sanity bounds for the transcript domain."""
+
+    min_ts: dt.datetime | None = None
+    max_ts: dt.datetime | None = None
+
+    def check_id(self) -> str:
+        return "ts_range"
+
+    def describe(self) -> str:
+        return f"ts in [{self.min_ts}, {self.max_ts}]"
+
+
+@dataclass(frozen=True)
+class ArrayCheck(Check):
+    """Array size bounds / uniqueness — reference array.py:121-141.
+    `unique=True` follows the reference's MUTATING semantics (dedup,
+    don't reject — array.py:139-141): compiler emits array_distinct
+    projection; `reject_dupes=True` instead emits a violation when
+    size(array_distinct(c)) < size(c)."""
+
+    min_items: int | None = None
+    max_items: int | None = None
+    unique: bool = False
+    reject_dupes: bool = False
+
+    def check_id(self) -> str:
+        return "array"
+
+    def describe(self) -> str:
+        return f"array: min_items={self.min_items}, max_items={self.max_items}"
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One column's type + checks. The analog of a resolved annotation +
+    constraints pair (reference typic/serde/resolver.py:372-510)."""
+
+    name: str
+    dtype: str = "string"  # Spark SQL type string, e.g. "int", "timestamp"
+    nullable: bool = True
+    checks: tuple[Check, ...] = ()
+    # Coercion: source representation to try_cast / parse from. If set, the
+    # compiler emits a repair projection (try_cast etc.); rows where the
+    # source is non-null but the coercion yields null get a `coerce` violation
+    # (the distributed transmute-failure, reference des.py + strict.py).
+    coerce_from: str | None = None  # e.g. "string", "epoch", "json:<schema>"
+
+    def with_checks(self, *checks: Check) -> "FieldSpec":
+        return replace(self, checks=self.checks + tuple(checks))
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """A table's validation spec: per-field checks plus the key columns
+    used to identify rows in violation output."""
+
+    name: str
+    fields: tuple[FieldSpec, ...] = ()
+    key_columns: tuple[str, ...] = ()  # copied into every violation row
+
+    def field(self, name: str) -> FieldSpec:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+
+def transcript_spec() -> TableSpec:
+    """The flagship spec: multi-turn conversation/agent transcripts
+    (BASELINE.json input_hint). Checks per SURVEY.md §2 composition list."""
+    return TableSpec(
+        name="transcripts",
+        key_columns=("conv_id", "turn_idx"),
+        fields=(
+            FieldSpec(
+                "conv_id",
+                "string",
+                nullable=False,
+                checks=(NotNullCheck(), TextCheck(regex=r"c[0-9]{8}$")),
+            ),
+            FieldSpec(
+                "turn_idx",
+                "int",
+                nullable=False,
+                checks=(NotNullCheck(), NumberCheck(ge=0)),
+            ),
+            FieldSpec(
+                "role",
+                "string",
+                nullable=False,
+                checks=(
+                    NotNullCheck(),
+                    EnumCheck(values=("system", "user", "assistant", "tool")),
+                ),
+            ),
+            FieldSpec(
+                "text",
+                "string",
+                nullable=True,
+                checks=(TextCheck(max_length=4000),),
+            ),
+            FieldSpec(
+                "tool",
+                "string",
+                nullable=True,  # Optional[ToolEnum] — union: null | enum
+                checks=(
+                    EnumCheck(
+                        values=tuple(f"tool_{i:02d}" for i in range(12))
+                    ),
+                ),
+            ),
+            FieldSpec(
+                "ts",
+                "timestamp",
+                nullable=False,
+                checks=(
+                    NotNullCheck(),
+                    TimestampRangeCheck(
+                        min_ts=dt.datetime(2000, 1, 1),
+                        max_ts=dt.datetime(2035, 1, 1),
+                    ),
+                ),
+            ),
+        ),
+    )
