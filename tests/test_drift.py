@@ -1,0 +1,78 @@
+"""t-digest drift operator: accuracy vs exact quantiles, merge
+determinism, drift detection on a shifted partition, and a
+percentile_approx cross-check (SURVEY.md §7 M4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from typical_spark.operators.drift import TDigest, drift_report, partition_digests
+
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 15.0, size=50_000)
+    d = TDigest.from_values(vals, compression=100)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        exact = np.quantile(vals, q)
+        got = float(d.quantile(q)[0])
+        assert abs(got - exact) < 0.8, (q, got, exact)
+
+
+def test_tdigest_merge_order_independent():
+    rng = np.random.default_rng(8)
+    parts = [TDigest.from_values(rng.exponential(5.0, size=10_000)) for _ in range(8)]
+    a = TDigest.merge_all(parts)
+    b = TDigest.merge_all(list(reversed(parts)))
+    assert np.allclose(a.means, b.means) and np.allclose(a.weights, b.weights)
+
+
+def test_tdigest_merge_accuracy():
+    rng = np.random.default_rng(9)
+    all_vals = rng.normal(0.0, 1.0, size=80_000)
+    chunks = np.array_split(all_vals, 16)
+    merged = TDigest.merge_all([TDigest.from_values(c) for c in chunks])
+    for q in (0.1, 0.5, 0.9):
+        assert abs(float(merged.quantile(q)[0]) - np.quantile(all_vals, q)) < 0.05
+
+
+def test_drift_report_flags_shifted_partition(spark):
+    rng = np.random.default_rng(10)
+    frames = []
+    for gid in range(6):
+        mu = 50.0 if gid != 3 else 80.0  # partition 3 is drifted
+        frames.append(pd.DataFrame({
+            "bucket": str(gid),
+            "v": rng.normal(mu, 5.0, size=4000),
+        }))
+    df = spark.createDataFrame(pd.concat(frames))
+    # one drifted group of six shifts the global mixture by ~1/6, so clean
+    # groups sit at KS ~ 0.17 vs global; the drifted one at ~0.8
+    rep = drift_report(df, "v", "bucket", threshold=0.3)
+    drifted = set(rep[rep.drifted].group_id)
+    assert drifted == {"3"}
+    assert rep[rep.group_id == "3"].ks_stat.iloc[0] > 0.5
+    assert rep[rep.group_id != "3"].ks_stat.max() < 0.25
+    # global median from merged digests near the bulk's median
+    mid = rep[rep.group_id == "0"]["q_0.5"].iloc[0]
+    assert abs(mid - 50.0) < 1.0
+
+
+def test_partition_digests_vs_percentile_approx(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "bucket": np.repeat(["a", "b"], 20_000),
+        "v": np.concatenate([
+            rng.normal(10, 2, 20_000), rng.normal(30, 4, 20_000)
+        ]),
+    })
+    df = spark.createDataFrame(pdf)
+    rows = partition_digests(df, "v", "bucket").collect()
+    digests = {r["group_id"]: TDigest(np.array(r["means"]), np.array(r["weights"])) for r in rows}
+    ga = df.groupBy("bucket").agg(
+        F.percentile_approx("v", 0.5, 10000).alias("p50")
+    ).collect()
+    approx = {r["bucket"]: r["p50"] for r in ga}
+    for g in ("a", "b"):
+        assert abs(float(digests[g].quantile(0.5)[0]) - approx[g]) < 0.3

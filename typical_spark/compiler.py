@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from typical_spark.specs import (
     ArrayCheck,
+    ArrayElementsCheck,
     Check,
     EnumCheck,
     FieldSpec,
@@ -38,6 +39,49 @@ from typical_spark.specs import (
     TextCheck,
     TimestampRangeCheck,
 )
+
+
+def scalar_violation_pred(chk: Check, col: Column) -> Column:
+    """Violation predicate for a scalar check against an arbitrary value
+    expression (used for array elements via higher-order lambdas, where the
+    value is a lambda variable, not a named column). Null short-circuits
+    every check except NotNull (reference common.py:272-287)."""
+    nn = col.isNotNull()
+    if isinstance(chk, NotNullCheck):
+        return col.isNull()
+    if isinstance(chk, NumberCheck):
+        ok = F.lit(True)
+        if chk.gt is not None:
+            ok = ok & (col > F.lit(chk.gt))
+        if chk.ge is not None:
+            ok = ok & (col >= F.lit(chk.ge))
+        if chk.lt is not None:
+            ok = ok & (col < F.lit(chk.lt))
+        if chk.le is not None:
+            ok = ok & (col <= F.lit(chk.le))
+        if chk.multiple_of is not None:
+            ok = ok & (col % F.lit(chk.multiple_of) == 0)
+        return nn & ~ok
+    if isinstance(chk, TextCheck):
+        ok = F.lit(True)
+        if chk.min_length is not None:
+            ok = ok & (F.length(col) >= F.lit(chk.min_length))
+        if chk.max_length is not None:
+            ok = ok & (F.length(col) <= F.lit(chk.max_length))
+        if chk.regex is not None:
+            pat = chk.regex if chk.regex.startswith("^") else "^" + chk.regex
+            ok = ok & col.rlike(pat)
+        return nn & ~ok
+    if isinstance(chk, EnumCheck):
+        return nn & ~col.isin(list(chk.values))
+    if isinstance(chk, TimestampRangeCheck):
+        ok = F.lit(True)
+        if chk.min_ts is not None:
+            ok = ok & (col >= F.lit(chk.min_ts))
+        if chk.max_ts is not None:
+            ok = ok & (col < F.lit(chk.max_ts))
+        return nn & ~ok
+    raise TypeError(f"not a scalar check: {type(chk).__name__}")
 
 
 @dataclass(frozen=True)
@@ -55,14 +99,16 @@ class CompiledCheck:
     observed: Column
 
 
-def _value_expr(fs: FieldSpec) -> Column:
+def _value_expr(fs: FieldSpec, base: Column | None = None) -> Column:
     """The (possibly transformed) value a field's checks run against.
 
-    Mutating pre-checks from the reference (strip_whitespace text.py:50-52,
-    curtail_length text.py:48-50, array unique dedup array.py:139-141) are
-    projections applied before predicates.
+    Starts from the coerced value when the field declares a coercion
+    (checks validate the post-transmute value, reference resolver.py:512-547
+    _finalize_deserializer ordering). Mutating pre-checks (strip_whitespace
+    text.py:50-52, curtail_length text.py:48-50, array unique dedup
+    array.py:139-141) are projections applied before predicates.
     """
-    c = F.col(fs.name)
+    c = base if base is not None else F.col(fs.name)
     for chk in fs.checks:
         if isinstance(chk, TextCheck):
             if chk.strip_whitespace:
@@ -156,6 +202,15 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
                           observed=sz.cast("string")))
         return out
 
+    if isinstance(chk, ArrayElementsCheck):
+        def elem_viol(x):
+            v = x[chk.element_field] if chk.element_field else x
+            return scalar_violation_pred(chk.inner, v)
+
+        failing = F.filter(col, elem_viol)
+        return [cc(nn & (F.size(failing) > 0),
+                   observed=F.size(failing).cast("string"))]
+
     raise TypeError(f"no compiler for check type {type(chk).__name__}")
 
 
@@ -167,20 +222,20 @@ def coercion_expr(fs: FieldSpec) -> Column | None:
     reference typic/strict.py:6-68)."""
     if fs.coerce_from is None:
         return None
+    from typical_spark.functions import coerce as CK
+
     src = F.col(fs.name)
     how = fs.coerce_from
     if how == "epoch":  # epoch seconds int/float -> timestamp, des.py:178-196
-        return F.timestamp_seconds(src.try_cast("double"))
-    if how == "bool_like":
-        # reference des.py:281-288 + util.py:100-131 safe_eval bool forms
-        low = F.lower(F.trim(src.cast("string")))
-        return (
-            F.when(low.isin("true", "1", "yes", "y", "on"), F.lit(True))
-            .when(low.isin("false", "0", "no", "n", "off"), F.lit(False))
-            .otherwise(F.lit(None).cast("boolean"))
-        )
+        return CK.epoch_timestamp(src)
+    if how == "bool_like":  # des.py:281-288 + safe_eval util.py:100-131
+        return CK.bool_like(src)
+    if how == "iso_strict":  # strict ISO datetime parse, des.py:198-233
+        return CK.iso_timestamp_strict(src)
+    if how == "uuid":  # des.py:263-279
+        return CK.uuid_normalize(src)
     if how.startswith("json:"):  # des via JSON parse, util.py:100-131
-        return F.from_json(src.cast("string"), how[len("json:"):])
+        return CK.json_object(src, how[len("json:"):])
     # default: plain cast attempt (reference des.py:353-368 builtin ctor)
     return src.try_cast(fs.dtype)
 
@@ -198,7 +253,20 @@ def compile_table_spec(spec: TableSpec) -> "ValidationPlan":
         ce = coercion_expr(fs)
         if ce is not None:
             coercions[fs.name] = ce
-        val = _value_expr(fs)
+            # transmute failure -> `coerce` violation (the distributed
+            # analog of transmute raising; reference des.py builders +
+            # strict mode typic/strict.py:6-68)
+            src = F.col(fs.name)
+            compiled.append(
+                CompiledCheck(
+                    column=fs.name,
+                    check_id="coerce",
+                    expected=f"coercible to {fs.dtype} (from {fs.coerce_from})",
+                    violation_cond=src.isNotNull() & ce.isNull(),
+                    observed=src.cast("string"),
+                )
+            )
+        val = _value_expr(fs, base=ce)
         # only record a transform projection if it's not the bare column
         if any(
             (isinstance(c, TextCheck) and (c.strip_whitespace or c.curtail_length))

@@ -1,0 +1,189 @@
+"""Distribution-drift detection via t-digest quantile sketches.
+
+No reference analog (typical is exact and per-value); mandated by
+BASELINE.json north_star: "distribution-drift detection via t-digest
+quantile sketches compared across partitions". Algorithm: Dunning &
+Ertl's t-digest (batch construction with the k1 scale function), built
+fully vectorized in numpy inside `applyInPandas` — one digest per
+partition group, Arrow-batched, no per-row Python.
+
+Two-phase plan (the same shape as Spark's partial aggregation):
+  phase 1 (executors): groupBy(partition_col).applyInPandas -> one
+      ~O(compression) centroid sketch per group; shuffle carries only
+      sketches, never values.
+  phase 2 (driver): merge the tiny sketches into a global digest
+      (deterministic: centroids sorted by mean before re-binning, so
+      merge order cannot change the result — SURVEY.md §7 hard part d).
+Drift stat per partition: max over probe quantiles of
+|CDF_partition(x) - CDF_global(x)| (a Kolmogorov-Smirnov distance
+estimated from the digests).
+
+At 10^12 rows: phase 1 is embarrassingly parallel; phase 2 moves
+n_groups * compression * 16 bytes — a few MB for thousands of buckets.
+`percentile_approx` (Greenwald-Khanna) remains available as a
+cross-check (tests do both).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# numpy t-digest (batch / merging form, k1 scale)
+# ---------------------------------------------------------------------------
+
+
+def _k1_boundaries(delta: int) -> np.ndarray:
+    """Quantile boundaries q_j of the k1 scale function
+    k(q) = (delta / 2π) · asin(2q − 1): evenly spaced in k, dense near the
+    tails — the standard t-digest sizing."""
+    j = np.arange(delta + 1, dtype=np.float64)
+    return (np.sin(np.pi * (j / delta) - np.pi / 2.0) + 1.0) / 2.0
+
+
+@dataclass
+class TDigest:
+    means: np.ndarray    # centroid means, ascending
+    weights: np.ndarray  # centroid weights
+    compression: int = 100
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum()) if len(self.weights) else 0.0
+
+    @classmethod
+    def from_values(
+        cls, values: np.ndarray, compression: int = 100,
+        weights: np.ndarray | None = None,
+    ) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        if weights is None:
+            w = np.ones_like(v)
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+        mask = ~np.isnan(v)
+        v, w = v[mask], w[mask]
+        if len(v) == 0:
+            return cls(np.empty(0), np.empty(0), compression)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        # midpoint quantile of each value -> bin by k1 boundaries
+        q_mid = (cum - w / 2.0) / total
+        bins = np.searchsorted(_k1_boundaries(compression), q_mid, side="right") - 1
+        bins = np.clip(bins, 0, compression - 1)
+        wsum = np.bincount(bins, weights=w, minlength=compression)
+        msum = np.bincount(bins, weights=v * w, minlength=compression)
+        nz = wsum > 0
+        return cls(msum[nz] / wsum[nz], wsum[nz], compression)
+
+    @classmethod
+    def merge_all(cls, digests: list["TDigest"], compression: int = 100) -> "TDigest":
+        ds = [d for d in digests if len(d.means)]
+        if not ds:
+            return cls(np.empty(0), np.empty(0), compression)
+        means = np.concatenate([d.means for d in ds])
+        weights = np.concatenate([d.weights for d in ds])
+        # re-binning sorted-by-mean centroids is merge-order independent
+        return cls.from_values(means, compression, weights=weights)
+
+    def quantile(self, q) -> np.ndarray:
+        """Interpolated quantile(s) at probability q (scalar or array)."""
+        q = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if len(self.means) == 0:
+            return np.full_like(q, np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        probs = cum / self.total_weight
+        return np.interp(q, probs, self.means,
+                         left=self.means[0], right=self.means[-1])
+
+    def cdf(self, x) -> np.ndarray:
+        x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        if len(self.means) == 0:
+            return np.full_like(x, np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        probs = cum / self.total_weight
+        return np.interp(x, self.means, probs, left=0.0, right=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Spark two-phase drift operator
+# ---------------------------------------------------------------------------
+
+_SKETCH_SCHEMA = (
+    "group_id string, n double, means array<double>, weights array<double>"
+)
+
+
+def partition_digests(
+    df: DataFrame,
+    value_col,
+    group_col,
+    compression: int = 100,
+) -> DataFrame:
+    """Phase 1: one t-digest sketch per group (Arrow-batched grouped map)."""
+    value_name = value_col if isinstance(value_col, str) else "value"
+    gdf = df.select(
+        F.col(group_col).cast("string").alias("group_id"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.from_values(pdf["__v"].to_numpy(), compression)
+        return pd.DataFrame(
+            {
+                "group_id": [pdf["group_id"].iloc[0]],
+                "n": [d.total_weight],
+                "means": [d.means.tolist()],
+                "weights": [d.weights.tolist()],
+            }
+        )
+
+    return gdf.groupBy("group_id").applyInPandas(build, _SKETCH_SCHEMA)
+
+
+def drift_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    compression: int = 100,
+    probe_quantiles=(0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95),
+    threshold: float = 0.1,
+) -> pd.DataFrame:
+    """Per-group KS-style drift vs the global distribution.
+
+    Returns a pandas DataFrame (driver-side; one row per group):
+    (group_id, n, ks_stat, drifted) — plus the probe quantile values under
+    q_* columns for inspection. Deterministic for a fixed input.
+    """
+    sketches = partition_digests(df, value_col, group_col, compression).collect()
+    per_group = {
+        r["group_id"]: TDigest(
+            np.array(r["means"]), np.array(r["weights"]), compression
+        )
+        for r in sketches
+    }
+    global_d = TDigest.merge_all(list(per_group.values()), compression)
+    probes = global_d.quantile(np.asarray(probe_quantiles))
+    rows = []
+    for gid in sorted(per_group):
+        d = per_group[gid]
+        ks = float(np.nanmax(np.abs(d.cdf(probes) - global_d.cdf(probes)))) if len(d.means) else float("nan")
+        row = {
+            "group_id": gid,
+            "n": d.total_weight,
+            "ks_stat": ks,
+            "drifted": bool(ks > threshold),
+        }
+        for q, v in zip(probe_quantiles, d.quantile(np.asarray(probe_quantiles))):
+            row[f"q_{q}"] = float(v)
+        rows.append(row)
+    return pd.DataFrame(rows)

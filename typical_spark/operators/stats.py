@@ -31,7 +31,7 @@ def column_stats(
     df: DataFrame,
     columns: Sequence[str] | None = None,
     exact: bool = False,
-    rsd: float = 0.01,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """One row per column:
     (column, n_rows, n_null, null_rate, n_distinct,
@@ -45,9 +45,9 @@ def column_stats(
     for c in columns:
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
-        if exact:
-            aggs.append(F.count_distinct(col).alias(f"{c}__dist"))
-        else:
+        if not exact:
+            # HLL sketches aggregate like any other buffer — keep them in
+            # the single pass.
             aggs.append(F.approx_count_distinct(col, rsd).alias(f"{c}__dist"))
         aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
@@ -59,6 +59,18 @@ def column_stats(
             aggs.append(F.lit(None).cast("double").alias(f"{c}__std"))
 
     wide = df.agg(*aggs)
+
+    if exact:
+        # Exact distincts go in their OWN aggregation: Catalyst implements
+        # multi-column count(DISTINCT) via Expand (one row copy per
+        # distinct aggregate), and putting the other ~6N agg buffers in the
+        # same operator makes every copy carry all of them (measured 6x
+        # slower fused than split at sf0.1). Both results are single rows,
+        # so the recombining cross join is free.
+        dist = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"{c}__dist") for c in columns]
+        )
+        wide = wide.crossJoin(dist)
 
     # pivot wide -> long with a single stack (still one aggregation job)
     structs = [
@@ -83,7 +95,7 @@ def grouped_stats(
     group_col,
     value_col: str,
     exact: bool = False,
-    rsd: float = 0.01,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Per-partition stats for one numeric column, plus a global rollup row
     (group NULL) via GROUPING SETS-equivalent rollup — feeds verdicts and

@@ -50,6 +50,14 @@ def get_spark(
         # coercions also use try_* explicitly; this covers implicit ones.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Size input splits so every core gets work even on the small
+        # single-file test parquet (default 128m -> 1 split -> serial agg).
+        # On a real cluster with TB-scale tables the default is fine; this
+        # only lowers the ceiling, never raises shuffle volume.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "4m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

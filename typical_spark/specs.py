@@ -153,6 +153,26 @@ class ArrayCheck(Check):
 
 
 @dataclass(frozen=True)
+class ArrayElementsCheck(Check):
+    """Apply a scalar check to every element of an array column (or to one
+    struct field of each element) — reference array.py:144-161 item
+    validation, compiled to `F.filter` higher-order functions (no UDF).
+    A row violates when >=1 element fails; observed = failing-element count.
+    """
+
+    inner: Check = None  # type: ignore[assignment]
+    element_field: str | None = None
+
+    def check_id(self) -> str:
+        base = self.inner.check_id() if self.inner else "?"
+        fld = f".{self.element_field}" if self.element_field else ""
+        return f"elements{fld}_{base}"
+
+    def describe(self) -> str:
+        return f"all elements{('.' + self.element_field) if self.element_field else ''}: {self.inner.describe()}"
+
+
+@dataclass(frozen=True)
 class FieldSpec:
     """One column's type + checks. The analog of a resolved annotation +
     constraints pair (reference typic/serde/resolver.py:372-510)."""
