@@ -168,6 +168,87 @@ def q_events_ts_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q_documents_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typical_spark.operators.dedup import exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text").select(
+        "dup_hash", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
+def q_documents_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typical_spark.functions.text_analysis import token_count_bpe, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def q_documents_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typical_spark.functions.text_analysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(lang_id(F.col("text")).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_documents_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typical_spark.functions.text_analysis import quality_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = quality_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(s["alpha_ratio"], 4).alias("alpha_r"),
+        F.round(s["stopword_ratio"], 4).alias("stop_r"),
+        F.round(s["mean_token_len"], 4).alias("mtl_r"),
+    )
+
+
+def q_embeddings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typical_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = cosine_topk(emb, qvec, k=10)
+    return top.select("vec_id", F.round("cosine_sim", 3).alias("sim_r"))
+
+
+def q_documents_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via minhash-LSH (rows-only: hash fns engine-specific)."""
+    from typical_spark.operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.8)
+
+
+def q_documents_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via simhash hamming<=3 (rows-only)."""
+    from typical_spark.operators.dedup import simhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_embeddings_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane LSH (rows-only)."""
+    from typical_spark.operators.similarity import embedding_near_duplicates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, cosine_threshold=0.99)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -184,6 +265,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_stats": q_lineitem_stats,
         "orders_grouped_stats": q_orders_grouped_stats,
         "events_ts_ordering": q_events_ts_ordering,
+        "documents_exact_dups": q_documents_exact_dups,
+        "documents_token_stats": q_documents_token_stats,
+        "documents_lang_id": q_documents_lang_id,
+        "documents_quality": q_documents_quality,
+        "embeddings_topk": q_embeddings_topk,
+        "documents_minhash_pairs": q_documents_minhash_pairs,
+        "documents_simhash_pairs": q_documents_simhash_pairs,
+        "embeddings_near_dups": q_embeddings_near_dups,
     }
 
 
@@ -309,6 +398,70 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(o_totalprice), 4) AS avg_r,
                    round(stddev_samp(o_totalprice), 4) AS std_r
             FROM orders GROUP BY ROLLUP (o_orderstatus)
+        """,
+        "documents_exact_dups": """
+            WITH norm AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS dup_hash
+                FROM documents
+            )
+            SELECT dup_hash, count(*) AS n_docs
+            FROM norm GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "documents_token_stats": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS n_tokens_ws,
+                   coalesce(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS n_tokens_bpe,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "documents_lang_id": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS n_tokens,
+                       len(regexp_extract_all(text, '(?i)\\b(the|and|is|of|to|you|that|with)\\b')) AS s_en,
+                       len(regexp_extract_all(text, '(?i)\\b(der|die|und|das|ist|nicht|ein|ich)\\b')) AS s_de,
+                       len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|que|pour|vous)\\b')) AS s_fr,
+                       len(regexp_extract_all(text, '(?i)\\b(el|los|que|es|por|una|para|con)\\b')) AS s_es
+                FROM documents
+            )
+            SELECT CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN 'und'
+                        WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                        WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                        WHEN s_de > s_en THEN 'de'
+                        WHEN s_en > 0 THEN 'en'
+                        ELSE 'und' END AS lang,
+                   count(*) AS n_docs
+            FROM s GROUP BY 1
+        """,
+        "documents_quality": """
+            WITH s AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS n_tokens,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                       len(regexp_extract_all(text,
+                           '(?i)\\b(the|of|and|a|to|in|is|it|you|that|he|was|for|on|are|as|with|his|they|i|at|be|this|have|from|or|one|had|by|word|but|not|what|all|were|we|when|your|can|said|there|use|an|each|which|she|do|how|their|if)\\b')) AS n_stop
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1), 4) AS alpha_r,
+                   round(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS stop_r,
+                   round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS mtl_r
+            FROM s
+        """,
+        "embeddings_topk": """
+            SELECT b.vec_id,
+                   round(list_cosine_similarity(b.embedding, a.embedding), 3) AS sim_r
+            FROM embeddings b,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+            ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id
+            LIMIT 10
         """,
         "events_ts_ordering": """
             SELECT user_id, event_id, 'ts_out_of_order' AS check_id,

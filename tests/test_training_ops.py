@@ -1,0 +1,236 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from typical_spark.functions.text_analysis import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+    word_shingles,
+)
+from typical_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard,
+    simhash64,
+    simhash_near_duplicates,
+)
+from typical_spark.operators.similarity import (
+    IVFIndex,
+    cosine_topk,
+    embedding_near_duplicates,
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("  a  b   c  ",), ("",), (None,), ("don't stop!",)],
+        "t string",
+    )
+    r = df.select(
+        token_count_ws(F.col("t")).alias("ws"),
+        token_count_bpe(F.col("t")).alias("bpe"),
+    ).collect()
+    assert [x["ws"] for x in r] == [2, 3, 0, None, 2]
+    # "don't stop!" -> don ' t stop !  = 5 BPE-ish tokens
+    assert r[4]["bpe"] == 5
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog went to the park",),
+            ("der Hund und die Katze sind nicht da",),
+            ("le chat et la maison est pour vous",),
+            ("el perro y los gatos que es una casa",),
+            ("zzz qqq xxx",),
+        ],
+        "t string",
+    )
+    langs = [r[0] for r in df.select(lang_id(F.col("t"))).collect()]
+    assert langs == ["en", "de", "fr", "es", "und"]
+
+
+def test_quality_score_orders_sanely(spark):
+    good = "The quick brown fox jumps over the lazy dog and then runs to the park with all of the other animals in one big group."
+    bad = "@@@@ ;;;; !!!! #### $$$$ %%%%"
+    df = spark.createDataFrame([(good,), (bad,)], "t string")
+    s = [r[0] for r in df.select(quality_score(F.col("t"))).collect()]
+    assert s[0] > 0.7 and s[1] < 0.4
+
+
+def test_doc_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World! This is DOC one.",),
+         ("hello world this is doc one",),
+         ("a totally different document text",)],
+        "t string",
+    )
+    fp = [r[0] for r in df.select(doc_fingerprint(F.col("t"))).collect()]
+    assert fp[0] == fp[1] != fp[2]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = (
+        "spark is a distributed engine for large scale data processing "
+        "with a declarative dataframe api and an optimizing query planner "
+        "that compiles logical plans into physical execution stages"
+    )
+    near = base.replace("large scale", "big") + " extra tail words here"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, "Spark IS a distributed engine for large scale data processing "
+            "with a declarative dataframe api and an optimizing query planner "
+            "that compiles logical plans into physical execution stages"),  # case-only dup
+        (3, near),                      # near dup
+        (4, "completely unrelated text about cooking pasta with tomatoes "
+            "and basil in a large pot of salted boiling water until al dente"),
+        (5, "another unrelated document discussing the migration patterns "
+            "of arctic terns across hemispheres during seasonal changes"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs_df):
+    groups = exact_duplicates(docs_df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1, 2]  # normalization folds case
+
+
+def test_minhash_near_duplicates(spark, docs_df):
+    pairs = minhash_near_duplicates(
+        docs_df, "doc_id", "text", jaccard_threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # dup group + the near pair must be found; unrelated docs must not pair
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert any(p in got for p in [(0, 3), (1, 3), (2, 3)])
+    assert not any(4 in p or 5 in p for p in got)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 1)] == 1.0
+
+
+def test_simhash_near_duplicates(spark, docs_df):
+    sig = docs_df.select(simhash64(F.col("text")).alias("s")).collect()
+    assert len({r["s"] for r in sig}) >= 3  # distinct docs -> distinct sigs
+    pairs = simhash_near_duplicates(docs_df, "doc_id", "text", max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(4 in p or 5 in p for p in got)
+    hm = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert hm[(0, 1)] == 0
+
+
+def test_ngram_jaccard_verify(spark, docs_df):
+    pairs = spark.createDataFrame([(0, 1), (0, 4)], "id_a long, id_b long")
+    out = ngram_jaccard(pairs, docs_df, "doc_id", "text").collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 4)] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(5)
+    n, d = 2000, 16
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # rows 100/101 nearly identical (near-dup pair)
+    base[101] = base[100] + rng.standard_normal(d).astype(np.float32) * 0.01
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": [v.tolist() for v in base]})
+    return spark.createDataFrame(pdf), base
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    df, base = emb_df
+    q = base[7]
+    got = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    sims = base.astype(np.float64) @ q / (
+        np.linalg.norm(base, axis=1) * np.linalg.norm(q)
+    )
+    want = list(np.argsort(-sims, kind="stable")[:5])
+    assert got == want
+    assert got[0] == 7  # itself first
+
+
+def test_ivf_recall(spark, emb_df):
+    df, base = emb_df
+    idx = IVFIndex.build(df, n_cells=8, sample_size=500)
+    q = base[42]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in idx.query(q, k=10, nprobe=4).collect()]
+    # recall@10 with half the cells probed should be high on random data
+    assert len(set(exact) & set(approx)) >= 6
+    assert approx[0] == 42
+
+
+def test_embedding_near_duplicates(spark, emb_df):
+    df, base = emb_df
+    pairs = embedding_near_duplicates(
+        df, cosine_threshold=0.98, n_planes=8, n_tables=6
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got
+    # sparse random normals: no other pair should clear 0.98
+    assert len(got) <= 3
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction_stub(spark):
+    from typical_spark.operators.multimodal import (
+        extract_features,
+        fake_decode,
+        media_metadata,
+        real_decode_stub,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"x" * 64
+    jpg = b"\xff\xd8\xff\xe0" + b"y" * 32
+    rows = [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    meta = {r["media_id"]: (r["mime"], r["n_bytes"]) for r in media_metadata(df).collect()}
+    assert meta[1] == ("image/png", 72)
+    assert meta[2][0] == "image/jpeg"
+    assert meta[3][0] == "application/octet-stream"
+
+    feats = extract_features(df, decoder=fake_decode, feat_dim=8).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(by_id[i]["decode_ok"] for i in (1, 2, 3))
+    assert len(by_id[1]["feature"]) == 8
+    # deterministic: same payload -> same features
+    feats2 = extract_features(df, decoder=fake_decode, feat_dim=8).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
+
+    # the real decoder hook is an explicit NotImplementedError stub
+    with pytest.raises(Exception, match="media decode requires"):
+        extract_features(df, decoder=real_decode_stub).collect()

@@ -1,0 +1,166 @@
+"""Text-analysis kernels for training-data curation over `documents`.
+
+All pure Catalyst expressions (whole-stage codegen, zero Python in the
+hot path): token counting, quality scoring, language-ID heuristic, and
+shingle/fingerprint primitives shared with the dedup operators.
+
+These have no reference analog (typical validates structure, not
+content); they are the "operations a large-scale training-data pipeline
+needs" component of the brief, built in the same columnar style as the
+check kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank, NULL for NULL)."""
+    t = F.trim(col)
+    return (
+        F.when(col.isNull(), F.lit(None).cast("int"))
+        .when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+    )
+
+
+# BPE-ish: words, numbers, or single non-space symbols — approximates a
+# subword tokenizer's pre-tokenization split (GPT-2 style regex, simplified
+# to Java regex syntax).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col: Column) -> Column:
+    return F.coalesce(F.regexp_count(col, F.lit(_BPE_RE)), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_EN = (
+    "the of and a to in is it you that he was for on are as with his they i "
+    "at be this have from or one had by word but not what all were we when "
+    "your can said there use an each which she do how their if"
+).split()
+
+
+def quality_signals(col: Column) -> dict[str, Column]:
+    """Raw quality signals; each is a separate Column so callers project
+    only what they need (column pruning stays effective)."""
+    n_chars = F.length(col)
+    n_tokens = token_count_ws(col)
+    n_alpha = F.coalesce(F.regexp_count(col, F.lit(r"[A-Za-z]")), F.lit(0))
+    n_punct = F.coalesce(
+        F.regexp_count(col, F.lit(r"[\.,;:!\?\(\)\[\]\{\}'\"]")), F.lit(0)
+    )
+    stop_re = r"(?i)\b(" + "|".join(_STOPWORDS_EN) + r")\b"
+    n_stop = F.coalesce(F.regexp_count(col, F.lit(stop_re)), F.lit(0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": (n_alpha / F.greatest(n_chars, F.lit(1))).cast("double"),
+        "punct_ratio": (n_punct / F.greatest(n_chars, F.lit(1))).cast("double"),
+        "stopword_ratio": (n_stop / F.greatest(n_tokens, F.lit(1))).cast("double"),
+        "mean_token_len": (
+            (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
+        ).cast("double"),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough length, mostly alphabetic,
+    sane punctuation density, some stopwords (C4-style filters folded into
+    one score)."""
+    s = quality_signals(col)
+    len_ok = F.least(s["n_tokens"] / F.lit(20.0), F.lit(1.0))
+    alpha_ok = s["alpha_ratio"]
+    punct_ok = F.lit(1.0) - F.least(s["punct_ratio"] * 5.0, F.lit(1.0))
+    stop_ok = F.least(s["stopword_ratio"] * 4.0, F.lit(1.0))
+    return ((len_ok + alpha_ok + punct_ok + stop_ok) / 4.0).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram / stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "is", "of", "to", "you", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "vous"],
+    "es": ["el", "los", "que", "es", "por", "una", "para", "con"],
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    out = {}
+    for lang, words in _LANG_MARKERS.items():
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        out[lang] = F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(0))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Best-scoring language, 'und' (undetermined) when nothing matches.
+    Ties break by fixed language order (en, de, fr, es) — deterministic."""
+    scores = lang_scores(col)
+    n_tokens = token_count_ws(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in _LANG_MARKERS:  # fixed order: first-wins on ties
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return F.when(n_tokens > 0, best).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# shingles & fingerprints (shared with dedup operators)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip non-alphanumerics (standard near-dup normalization)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Array of k-character shingles of the normalized text (distinct).
+    Pure expressions: sequence + transform + substring — no UDF."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (distinct)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+
+
+def doc_fingerprint(col: Column, k: int = 5) -> Column:
+    """64-bit winnowing-style document fingerprint: min of hashed k-gram
+    shingles of the normalized text (documents sharing it are near-identical
+    up to normalization; rolling-hash analog done set-wise)."""
+    sh = char_shingles(col, k)
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))

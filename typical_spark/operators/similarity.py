@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (array<float>).
+
+Kernels are pure Catalyst higher-order functions (`zip_with` dot product,
+`aggregate` norms) — JVM-side, no UDF, no Python in the scan.
+
+- brute-force cosine top-k: one narrow pass computing similarity + a
+  global top-k (TakeOrderedAndProject — no full sort, no shuffle of the
+  table; this is the exact baseline).
+- IVF (inverted-file) top-k: coarse k-means centroids fitted driver-side
+  on a bounded sample (numpy, deterministic seed), broadcast; each row is
+  assigned to its nearest centroid ONCE (one pass, written as a cell id);
+  a query probes only the nprobe nearest cells -> scan prunes to
+  ~nprobe/C of the data. The standard disk-ANN layout for 10^11-vector
+  corpora: partition/bucket the table by cell_id so a probe is a
+  partition-pruned scan.
+- embedding near-dup pairs: random-hyperplane LSH buckets (sign bits of
+  h random projections -> one shuffle on the bucket key) + exact cosine
+  verify within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (l2_norm(a) * l2_norm(b))).cast("double")
+
+
+def _vec_lit(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity. The plan is scan ->
+    project(similarity) -> TakeOrderedAndProject(k): no shuffle of data,
+    per-partition heaps + driver merge. Ties break by id for determinism."""
+    q = _vec_lit(query_vec)
+    sims = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine_sim"),
+    )
+    return sims.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_fit(sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means (numpy) for coarse quantization."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    cent = sample[idx].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    return cent
+
+
+class IVFIndex:
+    """Coarse-quantized index: fit centroids on a sample, materialize cell
+    assignments once, probe nearest cells at query time."""
+
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame,
+                 id_col: str, vec_col: str):
+        self.centroids = centroids
+        self.assigned = assigned  # df + cell_id column
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        sample_size: int = 10_000,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        sample = np.array(
+            [r[0] for r in df.select(vec_col).limit(sample_size).collect()],
+            dtype=np.float64,
+        )
+        cent = _kmeans_fit(sample, n_cells, seed=seed)
+        # nearest-centroid assignment as a pure expression over a broadcast
+        # literal array of centroids: argmin over cells of squared distance
+        cent_col = F.array(*[_vec_lit(c) for c in cent])
+        v = F.col(vec_col).cast("array<double>")
+        dists = F.transform(
+            cent_col,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        assigned = df.withColumn(
+            "cell_id", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        )
+        # At scale: .write.partitionBy('cell_id') / Iceberg bucket so probes
+        # are partition-pruned scans; kept in-memory for the local harness.
+        return cls(cent, assigned, id_col, vec_col)
+
+    def query(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:
+        q = np.asarray(query_vec, dtype=np.float64)
+        d = ((self.centroids - q[None, :]) ** 2).sum(1)
+        cells = [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
+        probed = self.assigned.where(F.col("cell_id").isin(cells))
+        return cosine_topk(probed, query_vec, self.id_col, self.vec_col, k)
+
+
+# ---------------------------------------------------------------------------
+# near-dup pairs by random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    cosine_threshold: float = 0.95,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. n_tables independent sign-bucket
+    keys (n_planes random hyperplanes each); candidates meet only within
+    a bucket; exact cosine verifies. Output: (id_a, id_b, cosine_sim)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    keys = []
+    v = F.col(vec_col).cast("array<double>")
+    for t in range(n_tables):
+        planes = rng.standard_normal((n_planes, dim))
+        bits = [
+            F.when(dot(v, _vec_lit(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes
+        ]
+        keys.append(
+            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bkey"))
+        )
+    tagged = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.explode(F.array(*keys)).alias("kk"),
+    ).select("_id", "_v", "kk.table", "kk.bkey")
+    l, r_ = tagged.alias("l"), tagged.alias("r")
+    cand = (
+        l.join(
+            r_,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._v").alias("va"),
+            F.col("r._v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = cand.withColumn(
+        "cosine_sim",
+        cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+    )
+    return out.where(F.col("cosine_sim") >= cosine_threshold).select(
+        "id_a", "id_b", "cosine_sim"
+    )
