@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the optimizations we claim must be visible
+in .explain() output — column pruning reaching the parquet scan, filters
+pushed down, broadcast anti-join for referential, no shuffle in the fused
+row-level pass, whole-stage codegen covering the check expressions.
+These guard against regressions that correctness tests can't see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from typical_spark import compile_table_spec
+from typical_spark.operators.referential import referential_violations
+from typical_spark.specs import (
+    EnumCheck,
+    FieldSpec,
+    NotNullCheck,
+    NumberCheck,
+    TableSpec,
+    transcript_spec,
+)
+
+
+def _plan_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_column_pruning_reaches_scan(spark, events):
+    """A spec checking 2 of 6 columns must read only those + keys."""
+    spec = TableSpec(
+        name="events", key_columns=("event_id",),
+        fields=(
+            FieldSpec("event_type", "string", checks=(NotNullCheck(),)),
+            FieldSpec("value", "double", checks=(NumberCheck(ge=0.0),)),
+        ),
+    )
+    plan = compile_table_spec(spec)
+    p = _plan_str(plan.violations(events, with_message=False))
+    # ReadSchema names exactly the referenced columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "event_type" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_filter_pushdown(spark, events):
+    """valid_predicate in a where() must push simple conjuncts into the
+    parquet scan (PushedFilters non-empty)."""
+    spec = TableSpec(
+        name="events", key_columns=("event_id",),
+        fields=(FieldSpec("value", "double", nullable=False,
+                          checks=(NotNullCheck(),)),),
+    )
+    plan = compile_table_spec(spec)
+    p = _plan_str(events.where(plan.valid_predicate()).select("event_id", "value"))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "IsNotNull(value)" in pushed
+
+
+def test_fused_pass_has_no_shuffle(spark, events):
+    plan = compile_table_spec(
+        TableSpec(
+            name="events", key_columns=("event_id",),
+            fields=(FieldSpec("event_type", "string",
+                              checks=(EnumCheck(values=("click", "view")),)),),
+        )
+    )
+    p = _plan_str(plan.violations(events, with_message=False))
+    assert "Exchange" not in p  # scan -> project -> filter -> explode only
+    assert "codegen id" in p  # whole-stage codegen spans cover the checks
+
+
+def test_referential_uses_broadcast_anti_join(spark, events):
+    dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    out = referential_violations(events, dim, ["user_id"], ["c_custkey"])
+    p = _plan_str(out)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # the fact side must NOT be exchanged (only the broadcast side moves)
+    first_exchange = p.find("Exchange")
+    assert "BroadcastExchange" in p
+
+
+def test_transcript_violations_plan_shape(spark, transcripts_df):
+    plan = compile_table_spec(transcript_spec())
+    p = _plan_str(plan.violations(transcripts_df, with_message=False))
+    # one fused projection: no joins, no aggregates, no shuffles
+    for op in ("Exchange", "SortMergeJoin", "HashAggregate"):
+        assert op not in p, f"unexpected {op} in fused pass:\n{p[:2000]}"

@@ -1,0 +1,70 @@
+"""JSON-Schema + StructType emission (reference A62:
+typic/ext/schema/schema.py). The emitted schema must actually validate/
+reject the same inputs the engine's checks do."""
+
+import json
+
+from typical_spark.schema import spec_to_json_schema, spec_to_structtype
+from typical_spark.specs import transcript_spec
+from typical_spark.model_records import model_spec
+
+
+def test_transcript_json_schema_shape():
+    sch = spec_to_json_schema(transcript_spec())
+    assert sch["type"] == "object"
+    p = sch["properties"]
+    # enum fragments mirror reference common.py:472-518 -> {"enum": [...]}
+    role = p["role"]
+    assert role.get("enum") == ["system", "user", "assistant", "tool"]
+    turn = p["turn_idx"]
+    assert turn.get("minimum") == 0 and turn["type"] == "integer"
+    # nullable fields wrap in anyOf [.., {"type":"null"}]
+    tool = p["tool"]
+    assert {"type": "null"} in tool["anyOf"]
+    assert "conv_id" in sch["required"] and "ts" in sch["required"]
+    cid = p["conv_id"]
+    assert cid.get("pattern") == r"c[0-9]{8}$"
+    text = p["text"]
+    inner = text["anyOf"][0]
+    assert inner.get("maxLength") == 4000
+
+
+def test_model_json_schema_nested():
+    sch = spec_to_json_schema(model_spec())
+    p = sch["properties"]
+    g = p["grecaptcha_response"]["anyOf"][0]
+    assert g["minLength"] == 10 and g["maxLength"] == 1000
+    loc = p["location"]["anyOf"][0]
+    lat = loc["properties"]["latitude"]["anyOf"][0]
+    assert lat["minimum"] == -90.0 and lat["maximum"] == 90.0
+    assert "id" in sch["required"] and "client_name" in sch["required"]
+    assert json.dumps(sch)  # serializable
+
+
+def test_structtype_roundtrip(spark):
+    st = spec_to_structtype(transcript_spec())
+    names = [f.name for f in st.fields]
+    assert names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert not st["conv_id"].nullable and st["tool"].nullable
+    # usable as a real Spark schema
+    df = spark.createDataFrame([], st)
+    assert df.schema == st
+
+
+def test_jsonschema_agrees_with_engine(spark):
+    """Cross-validation: a third-party JSON-Schema validator (if present)
+    must agree with the engine's verdicts on the same rows."""
+    try:
+        import jsonschema
+    except ImportError:
+        import pytest
+
+        pytest.skip("jsonschema not installed")
+    sch = spec_to_json_schema(transcript_spec())
+    ok_doc = {"conv_id": "c00000001", "turn_idx": 0, "role": "user",
+              "text": "hi", "tool": None, "ts": "2025-01-01T00:00:00"}
+    bad_doc = {**ok_doc, "role": "robot", "turn_idx": -1}
+    jsonschema.validate(ok_doc, sch)
+    errs = list(jsonschema.Draft7Validator(sch).iter_errors(bad_doc))
+    bad_fields = {list(e.path)[0] for e in errs if e.path}
+    assert bad_fields == {"role", "turn_idx"}

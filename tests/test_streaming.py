@@ -1,0 +1,117 @@
+"""Structured Streaming: the batch ValidationPlan applied to a stream,
+windowed violation stats with watermark, and foreachBatch verdict reuse.
+Uses file-source streams over the deterministic transcript parquet
+(rate/memory sources can't carry our schema)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from typical_spark import compile_table_spec
+from typical_spark.specs import transcript_spec
+from typical_spark.streaming import (
+    streaming_validation,
+    streaming_verdicts,
+    windowed_check_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, request):
+    from typical_spark.sources.transcripts import generate_transcripts_pdf
+
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    pdf = generate_transcripts_pdf(4000, seed=7)
+    spark.createDataFrame(pdf).repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_violations_match_batch(spark, stream_dir):
+    plan = compile_table_spec(transcript_spec())
+    batch_df = spark.read.parquet(stream_dir)
+    want = plan.violations(batch_df, with_message=False).count()
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(stream_dir)
+    out = streaming_validation(stream, plan)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vio_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT count(*) FROM vio_stream").collect()[0][0]
+    assert got == want and want > 0
+
+
+def test_windowed_check_stats(spark, stream_dir):
+    plan = compile_table_spec(transcript_spec())
+    batch_df = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(stream_dir)
+    agg = windowed_check_stats(stream, plan, window_duration="10 minutes",
+                               watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql(
+        "SELECT check_id, sum(n_violations) AS n FROM win_stats GROUP BY 1"
+    ).collect()
+    got = {r["check_id"]: r["n"] for r in rows}
+    want = {
+        r["check_id"]: r["n"]
+        for r in plan.violations(batch_df, with_message=False)
+        .where(F.col("ts").isNotNull())  # windowing drops null-ts rows
+        .groupBy("check_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every check seen in batch shows up with the same total in windows
+    # (null-ts violation rows can't be windowed; exclude both sides)
+    batch_windowable = {
+        r["check_id"]: r["n"]
+        for r in plan.annotate(batch_df, "_v")
+        .where(F.col("ts").isNotNull())
+        .select(F.explode("_v").alias("v"))
+        .groupBy("v.check_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # ts_range violators ARE the late data: year-1900 timestamps fall
+    # behind the watermark and are dropped by the streaming agg — that is
+    # the watermark doing its job, so they may undercount here.
+    assert got.get("ts_range", 0) <= batch_windowable.get("ts_range", 0)
+    got.pop("ts_range", None)
+    batch_windowable.pop("ts_range", None)
+    assert got == batch_windowable
+
+
+def test_foreach_batch_reuses_batch_operators(spark, stream_dir):
+    from typical_spark.operators.uniqueness import duplicate_key_counts
+
+    batch_df = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(stream_dir)
+    results = []
+
+    def per_batch(bdf, batch_id):
+        results.append(
+            duplicate_key_counts(bdf, ["conv_id", "turn_idx"]).count()
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        q = streaming_verdicts(stream, per_batch, ckpt)
+        _drain(q)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert len(results) >= 1 and sum(results) > 0

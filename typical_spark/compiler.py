@@ -33,9 +33,11 @@ from typical_spark.specs import (
     Check,
     EnumCheck,
     FieldSpec,
+    MapCheck,
     NotNullCheck,
     NumberCheck,
     TableSpec,
+    TaggedCheck,
     TextCheck,
     TimestampRangeCheck,
 )
@@ -200,6 +202,95 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
             out.append(cc(nn & (F.size(F.array_distinct(col)) < sz),
                           check_id="array_unique", expected="elements unique",
                           observed=sz.cast("string")))
+        return out
+
+    if isinstance(chk, MapCheck):
+        out = []
+        keys = F.map_keys(col)
+        sz = F.size(col)
+        if chk.min_items is not None or chk.max_items is not None:
+            lo = chk.min_items if chk.min_items is not None else 0
+            ok = sz >= F.lit(lo)
+            if chk.max_items is not None:
+                ok = ok & (sz <= F.lit(chk.max_items))
+            out.append(cc(nn & ~ok, check_id="map_size",
+                          expected=f"{lo} <= size <= {chk.max_items}",
+                          observed=sz.cast("string")))
+        if chk.required_keys:
+            # valkeys ⊇ required (mapping.py:228-235)
+            missing = F.array_except(
+                F.array(*[F.lit(k) for k in chk.required_keys]), keys
+            )
+            out.append(cc(nn & (F.size(missing) > 0), check_id="map_required_keys",
+                          expected=f"has keys {sorted(chk.required_keys)}",
+                          observed=F.to_json(missing)))
+        if chk.total and chk.defined_keys:
+            # valkeys ⊆ defined (mapping.py:89-96)
+            extra = F.array_except(
+                keys, F.array(*[F.lit(k) for k in chk.defined_keys])
+            )
+            out.append(cc(nn & (F.size(extra) > 0), check_id="map_total",
+                          expected=f"no keys outside {sorted(chk.defined_keys)}",
+                          observed=F.to_json(extra)))
+        if chk.key_regex is not None:
+            pat = chk.key_regex if chk.key_regex.startswith("^") else "^" + chk.key_regex
+            bad = F.filter(keys, lambda k: ~k.rlike(pat))
+            out.append(cc(nn & (F.size(bad) > 0), check_id="map_key_pattern",
+                          expected=f"all keys match '{pat}'",
+                          observed=F.to_json(bad)))
+        if chk.values_check is not None:
+            inner = chk.values_check
+            badv = F.filter(
+                F.map_values(col), lambda v: scalar_violation_pred(inner, v)
+            )
+            out.append(cc(nn & (F.size(badv) > 0), check_id="map_values",
+                          expected=f"all values: {inner.describe()}",
+                          observed=F.size(badv).cast("string")))
+        for key, deps in chk.key_dependencies:
+            need = F.array_except(F.array(*[F.lit(d) for d in deps]), keys)
+            has_key = F.array_contains(keys, key)
+            out.append(cc(nn & has_key & (F.size(need) > 0),
+                          check_id="map_key_dependency",
+                          expected=f"key '{key}' requires {sorted(deps)}",
+                          observed=F.to_json(need)))
+        return out
+
+    if isinstance(chk, TaggedCheck):
+        tag = F.col(chk.tag_column)
+        out = []
+        known_vals = [v for v, _ in chk.cases]
+        for tag_value, inner in chk.cases:
+            cond = tag.eqNullSafe(F.lit(tag_value)) & scalar_violation_pred(inner, col)
+            out.append(
+                CompiledCheck(
+                    column=name,
+                    check_id=f"tagged[{chk.tag_column}={tag_value}]_{inner.check_id()}",
+                    expected=f"when {chk.tag_column}={tag_value!r}: {inner.describe()}",
+                    violation_cond=cond,
+                    observed=obs_str,
+                )
+            )
+        if chk.else_check is not None:
+            cond = ~tag.isin(known_vals) & scalar_violation_pred(chk.else_check, col)
+            out.append(
+                CompiledCheck(
+                    column=name,
+                    check_id=f"tagged[{chk.tag_column}=*]_{chk.else_check.check_id()}",
+                    expected=f"otherwise: {chk.else_check.describe()}",
+                    violation_cond=cond,
+                    observed=obs_str,
+                )
+            )
+        if chk.unknown_tag_violates:
+            out.append(
+                CompiledCheck(
+                    column=chk.tag_column,
+                    check_id=f"tagged[{chk.tag_column}]_unknown_tag",
+                    expected=f"{chk.tag_column} in {known_vals}",
+                    violation_cond=tag.isNotNull() & ~tag.isin(known_vals),
+                    observed=tag.cast("string"),
+                )
+            )
         return out
 
     if isinstance(chk, ArrayElementsCheck):

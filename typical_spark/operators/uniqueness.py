@@ -55,10 +55,34 @@ def duplicate_rows(
     keys: Sequence[str],
     order_by: Sequence[str] | None = None,
     salt_buckets: int = 1,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Rows that are duplicates beyond the kept-first occurrence
     (keep-first per `order_by`, mirroring array.py:30-43 order-preserving
-    dedup). Output: df columns + dup_rank (>=2)."""
+    dedup). Output: df columns + dup_rank (>=2).
+
+    prefilter=True (default) first computes the duplicate KEY set with a
+    plain groupBy count — map-side partial aggregation makes this
+    skew-proof and cheap — then windows only the rows of those keys (a
+    null-safe semi-join; AQE broadcasts the key set when it is small).
+    Ranking therefore touches ~2x the duplicate rows instead of the whole
+    table: at 0.5% duplicates that is a 100x cut of window input. The
+    salted path then only ever runs on the (small) candidate set, purely
+    as pathological-hot-key insurance.
+    """
+    if prefilter:
+        dup_keys = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_kn"))
+            .where(F.col("_kn") > 1)
+            .select(*[F.col(k).alias(f"_dk_{k}") for k in keys])
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_dk_{k}"))
+        df = df.join(dup_keys, cond, "inner").drop(
+            *[f"_dk_{k}" for k in keys]
+        )
     if salt_buckets <= 1:
         w = Window.partitionBy(*keys).orderBy(*_order_cols(df, order_by))
         return (
@@ -66,8 +90,11 @@ def duplicate_rows(
             .where(F.col("dup_rank") > 1)
         )
     # Salted: global rank = rows in earlier salt buckets + local rank.
-    # Salt must be deterministic for resumability -> hash of all columns.
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    # Salt must be deterministic for resumability -> hash of the key +
+    # cheap order columns (never the payload text: hashing wide columns
+    # costs more than the window it protects).
+    salt_cols = [*keys, *(order_by or [])]
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))
     sdf = df.withColumn("_salt", salt)
     wl = Window.partitionBy(*keys, "_salt").orderBy(*_order_cols(df, order_by))
     local = sdf.withColumn("_lrank", F.row_number().over(wl))

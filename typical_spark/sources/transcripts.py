@@ -143,6 +143,70 @@ def generate_conversations_pdf(
     return g
 
 
+def replicate_transcripts(df, factor: int, conv_id_col: str = "conv_id"):
+    """Scale a transcript table by `factor` with disjoint conversation-id
+    spaces (first digit of the 8-digit id becomes the replica index) and a
+    per-replica time shift. Violation counts scale EXACTLY by `factor`
+    (replicas are conv-disjoint), so goldens stay exact at bench scale —
+    and the replication is in-plan (union of remapped scans), no regen.
+    """
+    from pyspark.sql import functions as F
+
+    assert 1 <= factor <= 10
+    parts = []
+    for r in range(factor):
+        remapped = df.withColumn(
+            conv_id_col,
+            F.when(
+                F.col(conv_id_col).rlike("^c[0-9]{8}$"),
+                F.concat(
+                    F.lit("c"), F.lit(str(r)), F.substring(conv_id_col, 3, 7)
+                ),
+            ).otherwise(F.col(conv_id_col)),
+        )
+        if "ts" in df.columns:
+            remapped = remapped.withColumn(
+                "ts", F.timestamp_seconds(F.unix_timestamp("ts") + r * 7200)
+            )
+        if "started_ts" in df.columns:
+            remapped = remapped.withColumn(
+                "started_ts",
+                F.timestamp_seconds(F.unix_timestamp("started_ts") + r * 7200),
+            )
+        parts.append(remapped)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scaled_dataset(
+    spark,
+    base_turns: int,
+    factor: int,
+    seed: int = 42,
+    cache_dir: str = "/root/repo/.data",
+    buckets: int = 32,
+):
+    """Materialized factor-replicated table (see replicate_transcripts).
+    Written once; scaling runs then plan against a plain parquet scan
+    instead of a 16-subtree union (driver planning time must not pollute
+    a scaling measurement)."""
+    import os
+
+    tdir = os.path.join(cache_dir, f"transcripts_n{base_turns}_s{seed}_x{factor}")
+    cdir = os.path.join(cache_dir, f"conversations_n{base_turns}_s{seed}_x{factor}")
+    if not os.path.exists(os.path.join(tdir, "_SUCCESS")):
+        tdf, cdf = transcripts_dataset(spark, base_turns, seed, cache_dir, buckets)
+        replicate_transcripts(tdf, factor).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tdir)
+        replicate_transcripts(cdf, factor).coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(cdir)
+    return spark.read.parquet(tdir), spark.read.parquet(cdir)
+
+
 def transcripts_dataset(
     spark,
     n_turns: int,

@@ -153,6 +153,63 @@ class ArrayCheck(Check):
 
 
 @dataclass(frozen=True)
+class MapCheck(Check):
+    """Mapping constraints — reference typic/constraints/mapping.py:
+    size bounds (:222-241), required keys (:228-235,259-267), total/closed
+    mapping (:89-96), key_pattern (:159-191), all-keys/all-values checks
+    (:76-86,113-121), key dependencies (:195-220). Compiled to
+    map_keys/map_values/forall — no UDF."""
+
+    min_items: int | None = None
+    max_items: int | None = None
+    required_keys: tuple[str, ...] = ()
+    defined_keys: tuple[str, ...] = ()  # total=True: no keys outside these
+    total: bool = False
+    key_regex: str | None = None
+    values_check: "Check | None" = None
+    # key -> keys that must also be present when it is (A19)
+    key_dependencies: tuple[tuple[str, tuple[str, ...]], ...] = ()
+
+    def check_id(self) -> str:
+        return "mapping"
+
+    def describe(self) -> str:
+        parts = []
+        if self.min_items is not None or self.max_items is not None:
+            parts.append(f"size in [{self.min_items}, {self.max_items}]")
+        if self.required_keys:
+            parts.append(f"required={sorted(self.required_keys)}")
+        if self.total:
+            parts.append(f"total over {sorted(self.defined_keys)}")
+        if self.key_regex:
+            parts.append(f"keys match '{self.key_regex}'")
+        return "mapping: " + ", ".join(parts)
+
+
+@dataclass(frozen=True)
+class TaggedCheck(Check):
+    """Tagged-union dispatch: which check applies to THIS column depends on
+    the value of a tag column — reference tagged-union deserializer
+    des.py:680-730 + get_tag_for_types util.py:760-819, compiled to a
+    CASE WHEN chain on the tag. Unknown tag values optionally violate
+    (reference raises on unknown tag, des.py:726-729)."""
+
+    tag_column: str = ""
+    cases: tuple[tuple[object, "Check"], ...] = ()  # (tag_value, check)
+    else_check: "Check | None" = None
+    unknown_tag_violates: bool = False
+
+    def check_id(self) -> str:
+        return f"tagged_{self.tag_column}"
+
+    def describe(self) -> str:
+        return (
+            f"by {self.tag_column}: "
+            + ", ".join(f"{v}->{c.check_id()}" for v, c in self.cases)
+        )
+
+
+@dataclass(frozen=True)
 class ArrayElementsCheck(Check):
     """Apply a scalar check to every element of an array column (or to one
     struct field of each element) — reference array.py:144-161 item
