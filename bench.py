@@ -89,11 +89,14 @@ SCALE_FACTOR = int(os.environ.get("SCALE_FACTOR", "4"))
 
 def run_flagship_subprocess(cores: int, factor: int = 1) -> dict:
     """Fresh JVM at a given parallelism (for the N-vs-4N scaling proof)."""
+    # shuffle_partitions fixed at 32 for every config: partition layout is
+    # a property of the data/job, not the cluster size — varying it with
+    # cores would conflate two variables in the scaling measurement.
     code = (
         "import json,sys; sys.path.insert(0,'/root/repo');"
         "from typical_spark.session import get_spark;"
         "import bench;"
-        f"s=bench._flagship(get_spark('scale', cores={cores}, shuffle_partitions={cores}), {BENCH_TURNS}, factor={factor});"
+        f"s=bench._flagship(get_spark('scale', cores={cores}, shuffle_partitions=32), {BENCH_TURNS}, factor={factor});"
         "print('RESULT::'+json.dumps(s))"
     )
     out = subprocess.run(

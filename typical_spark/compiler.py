@@ -31,8 +31,11 @@ from typical_spark.specs import (
     ArrayCheck,
     ArrayElementsCheck,
     Check,
+    STRING_FORMATS,
+    DecimalCheck,
     EnumCheck,
     FieldSpec,
+    FormatCheck,
     MapCheck,
     NotNullCheck,
     NumberCheck,
@@ -40,6 +43,7 @@ from typical_spark.specs import (
     TaggedCheck,
     TextCheck,
     TimestampRangeCheck,
+    UnionCheck,
 )
 
 
@@ -76,6 +80,18 @@ def scalar_violation_pred(chk: Check, col: Column) -> Column:
         return nn & ~ok
     if isinstance(chk, EnumCheck):
         return nn & ~col.isin(list(chk.values))
+    if isinstance(chk, FormatCheck):
+        pat = STRING_FORMATS[chk.format]
+        return nn & ~col.rlike("^" + pat if not pat.startswith("(?i)") else
+                               "(?i)^" + pat[4:])
+    if isinstance(chk, DecimalCheck):
+        dec = col.try_cast(f"decimal({chk.max_digits},{chk.decimal_places})")
+        return nn & dec.isNull()
+    if isinstance(chk, UnionCheck):
+        viol = F.lit(True)
+        for m in chk.members:
+            viol = viol & scalar_violation_pred(m, col)
+        return nn & viol
     if isinstance(chk, TimestampRangeCheck):
         ok = F.lit(True)
         if chk.min_ts is not None:
@@ -301,6 +317,9 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
         failing = F.filter(col, elem_viol)
         return [cc(nn & (F.size(failing) > 0),
                    observed=F.size(failing).cast("string"))]
+
+    if isinstance(chk, (FormatCheck, DecimalCheck, UnionCheck)):
+        return [cc(scalar_violation_pred(chk, col))]
 
     raise TypeError(f"no compiler for check type {type(chk).__name__}")
 

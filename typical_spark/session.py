@@ -61,6 +61,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch: this sandbox's shared disk tops out well below
+    # the CPUs (shuffle I/O was the non-scaling resource in profiling), so
+    # default scratch to tmpfs when present — the local-mode analog of the
+    # NVMe local disks a real executor would use for shuffle.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "",
+    )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -153,6 +153,72 @@ class ArrayCheck(Check):
 
 
 @dataclass(frozen=True)
+class DecimalCheck(Check):
+    """Decimal digit constraints — reference typic/constraints/number.py:
+    144-215 (max_digits / decimal_places via Decimal.as_tuple counting).
+    Columnar form: a value conforms iff it survives a cast to
+    DecimalType(max_digits, decimal_places) — Spark nulls on overflow,
+    which is exactly the reference's whole-digits check; scale is enforced
+    by the type."""
+
+    max_digits: int = 38
+    decimal_places: int = 0
+
+    def check_id(self) -> str:
+        return "decimal"
+
+    def describe(self) -> str:
+        return (
+            f"decimal: max_digits={self.max_digits}, "
+            f"decimal_places={self.decimal_places}"
+        )
+
+
+@dataclass(frozen=True)
+class UnionCheck(Check):
+    """Untagged union: value is valid if ANY member check accepts it —
+    reference MultiConstraints (typic/constraints/common.py:312-407) /
+    generic-union try-each deserialization (des.py:732-764). Compiled to
+    an OR of member predicates (order irrelevant for validity, unlike the
+    reference's try-order which matters only for coercion)."""
+
+    members: tuple[Check, ...] = ()
+
+    def check_id(self) -> str:
+        return "union"
+
+    def describe(self) -> str:
+        return "any of: " + " | ".join(m.describe() for m in self.members)
+
+
+# Named string formats — reference typic/types custom strings:
+# Email (email.py:32-99), URL/NetworkAddress (url.py:49-80),
+# uuid (des.py:263-279), ipv4 (factory.py:410-433 / ser.py:67-94).
+# Patterns are fresh simplified implementations of the same formats.
+STRING_FORMATS: dict[str, str] = {
+    "email": r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$",
+    "url": r"(?i)(?:[a-z][a-z0-9+.-]*)://(?:[^\s:@/]+(?::[^\s:@/]*)?@)?(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*|\[[0-9A-Fa-f:.]+\])(?::\d+)?(?:[/?#]\S*)?$",
+    "uuid": r"(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$",
+    "ipv4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$",
+    "hostname": r"(?i)[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?(?:\.[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?)*$",
+}
+
+
+@dataclass(frozen=True)
+class FormatCheck(Check):
+    """Named string-format membership (email/url/uuid/ipv4/hostname) —
+    the engine's version of the reference's constrained string types."""
+
+    format: str = "email"
+
+    def check_id(self) -> str:
+        return f"format_{self.format}"
+
+    def describe(self) -> str:
+        return f"valid {self.format}"
+
+
+@dataclass(frozen=True)
 class MapCheck(Check):
     """Mapping constraints — reference typic/constraints/mapping.py:
     size bounds (:222-241), required keys (:228-235,259-267), total/closed
