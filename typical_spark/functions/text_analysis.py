@@ -134,28 +134,50 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
-def char_shingles(col: Column, k: int = 5) -> Column:
-    """Array of k-character shingles of the normalized text (distinct).
-    Pure expressions: sequence + transform + substring — no UDF."""
-    norm = normalize_text(col)
+# PERFORMANCE NOTE: an expression referenced inside a higher-order
+# function's lambda is RE-EVALUATED per element (no common-subexpression
+# elimination through lambda scopes). Shingling over `slice(split(
+# normalize(text)), i, k)` therefore re-ran 3 regex passes per shingle
+# index — ~100x slowdown, measured. The *_from variants take an already-
+# bound words/string column (one projection hop); the convenience
+# wrappers nest the bind inside a single-element transform so the parse
+# happens once per row.
+
+
+def _bind(col: Column, fn):
+    """Evaluate `col` once per row, then apply fn to the bound value
+    (transform over a 1-element array scopes the evaluation)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def char_shingles_from(norm: Column, k: int = 5) -> Column:
+    """k-char shingles of an ALREADY-normalized string column (distinct)."""
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Array of k-character shingles of the normalized text (distinct)."""
+    return _bind(normalize_text(col), lambda norm: char_shingles_from(norm, k))
+
+
+def word_shingles_from(words: Column, k: int = 3) -> Column:
+    """k-word shingles of an ALREADY-split words array column (distinct)."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
+
+
+def split_normalized(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Array of k-word shingles (distinct)."""
-    words = F.split(normalize_text(col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-        )
-    )
+    return _bind(split_normalized(col), lambda w: word_shingles_from(w, k))
 
 
 def doc_fingerprint(col: Column, k: int = 5) -> Column:

@@ -171,7 +171,9 @@ def embedding_near_duplicates(
         keys.append(
             F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bkey"))
         )
-    tagged = df.select(
+    from typical_spark.operators.dedup import _ensure_parallelism
+
+    tagged = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         F.explode(F.array(*keys)).alias("kk"),
     ).select("_id", "_v", "kk.table", "kk.bkey")
