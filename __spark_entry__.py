@@ -249,6 +249,114 @@ def q_embeddings_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb, cosine_threshold=0.99)
 
 
+# ---------------------------------------------------------------------------
+# analytic operator coverage (SURVEY.md Table B: aggregations, joins,
+# sorts/top-k, grouping sets, windows) — exercised as engine queries with
+# DuckDB oracles on the shared tables.
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate: grouped sums/avgs with map-side partial
+    aggregation (two-level hash agg; one shuffle of the tiny group keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join + agg + top-k: broadcast the filtered customer
+    dim; TakeOrderedAndProject caps the sort at k."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority), ()) — marginals + grand total
+    in ONE aggregation pass (Expand feeds a single shuffle)."""
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_r
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window sessionization: per-user session ids from >30-min gaps
+    (lag + cumulative sum over one user-keyed window shuffle)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "ts", new_sess.alias("_new")
+    ).withColumn(
+        "session_seq", F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
+def q_documents_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (exceptAll): doc ids present in documents but absent from
+    the near-dup survivor set after exact dedup keep-first."""
+    from typical_spark.operators.dedup import exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    dups = exact_duplicates(docs, "doc_id", "text")
+    # ids dropped by keep-first dedup = all ids in groups minus group mins
+    dropped = dups.select(
+        F.explode(F.slice("doc_ids", 2, 1_000_000)).alias("doc_id")
+    )
+    return docs.select("doc_id").exceptAll(dropped)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -273,6 +381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_minhash_pairs": q_documents_minhash_pairs,
         "documents_simhash_pairs": q_documents_simhash_pairs,
         "embeddings_near_dups": q_embeddings_near_dups,
+        "pricing_summary": q_pricing_summary,
+        "top_unshipped_orders": q_top_unshipped_orders,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "events_sessionize": q_events_sessionize,
+        "documents_except": q_documents_except,
     }
 
 
@@ -462,6 +575,66 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) a
             ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC, b.vec_id
             LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "top_unshipped_orders": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_r
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "events_sessionize": """
+            WITH lagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS _new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, session_seq,
+                   count(*) AS n_events, min(event_id) AS first_event
+            FROM (
+                SELECT user_id, event_id,
+                       sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM lagged
+            )
+            GROUP BY 1, 2
+        """,
+        "documents_except": """
+            WITH norm AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h
+                FROM documents
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h)
+            SELECT doc_id FROM keep
         """,
         "events_ts_ordering": """
             SELECT user_id, event_id, 'ts_out_of_order' AS check_id,
