@@ -357,6 +357,38 @@ def q_documents_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").exceptAll(dropped)
 
 
+def q_orders_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition pass/fail verdicts (north_star output b): one agg
+    pass over a deterministic partition key; every (partition, check)
+    pair reported, zeros included."""
+    plan = compile_table_spec(ORDERS_SPEC)
+    od = load_table(spark, sf_dir, "orders")
+    v = plan.verdicts(od, partition_col=F.pmod(F.col("o_orderkey"), F.lit(8)))
+    return v.select(
+        F.col("partition_id").cast("long").alias("partition_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "check_id",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("pass").alias("pass_flag"),
+    )
+
+
+def q_events_props_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON coercion at the gate: parse props into a typed struct
+    (from_json), coerce k to long, flag rows where k < 0 or parse failed."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k long").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p").isNull() | F.col("p.k").isNull()).alias("parse_failed"),
+        F.when(F.col("p.k") < 0, True).otherwise(False).alias("negative_k"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -386,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "events_sessionize": q_events_sessionize,
         "documents_except": q_documents_except,
+        "orders_verdicts": q_orders_verdicts,
+        "events_props_coerce": q_events_props_coerce,
     }
 
 
@@ -635,6 +669,54 @@ def oracle_sql() -> dict[str, str]:
             ),
             keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h)
             SELECT doc_id FROM keep
+        """,
+        "orders_verdicts": """
+            WITH parts AS (
+                SELECT o_orderkey % 8 AS partition_id, count(*) AS n_rows
+                FROM orders GROUP BY 1
+            ),
+            checks(check_id) AS (
+                VALUES ('not_null'), ('enum'), ('number_range'),
+                       ('text_length'), ('text_regex')
+            ),
+            vio AS (
+                SELECT o_orderkey % 8 AS pid, 'not_null' AS check_id
+                FROM orders WHERE o_orderstatus IS NULL
+                UNION ALL
+                SELECT o_orderkey % 8, 'enum' FROM orders
+                WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')
+                UNION ALL
+                SELECT o_orderkey % 8, 'number_range' FROM orders
+                WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice > 0.0)
+                UNION ALL
+                SELECT o_orderkey % 8, 'text_length' FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND length(o_orderpriority) NOT BETWEEN 3 AND 20
+                UNION ALL
+                SELECT o_orderkey % 8, 'text_regex' FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+            ),
+            vc AS (SELECT pid, check_id, count(*) AS n FROM vio GROUP BY 1, 2)
+            SELECT p.partition_id, p.n_rows, c.check_id,
+                   coalesce(vc.n, 0) AS n_violations,
+                   coalesce(vc.n, 0) = 0 AS pass_flag
+            FROM parts p
+            CROSS JOIN checks c
+            LEFT JOIN vc ON vc.pid = p.partition_id AND vc.check_id = c.check_id
+        """,
+        "events_props_coerce": """
+            WITH j AS (
+                SELECT event_id, TRY_CAST(props AS JSON) AS pj FROM events
+            )
+            SELECT event_id,
+                   TRY_CAST(json_extract_string(pj, '$.k') AS BIGINT) AS k,
+                   (pj IS NULL OR json_extract_string(pj, '$.k') IS NULL)
+                       AS parse_failed,
+                   coalesce(
+                       TRY_CAST(json_extract_string(pj, '$.k') AS BIGINT) < 0,
+                       FALSE) AS negative_k
+            FROM j
         """,
         "events_ts_ordering": """
             SELECT user_id, event_id, 'ts_out_of_order' AS check_id,
