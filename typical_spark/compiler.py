@@ -32,6 +32,7 @@ from typical_spark.specs import (
     ArrayElementsCheck,
     Check,
     STRING_FORMATS,
+    CustomCheck,
     DecimalCheck,
     EnumCheck,
     FieldSpec,
@@ -321,6 +322,12 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
     if isinstance(chk, (FormatCheck, DecimalCheck, UnionCheck)):
         return [cc(scalar_violation_pred(chk, col))]
 
+    if isinstance(chk, CustomCheck):
+        from typical_spark.specs import get_custom_check
+
+        ok = get_custom_check(chk.name)(col)
+        return [cc(nn & ~ok)]
+
     raise TypeError(f"no compiler for check type {type(chk).__name__}")
 
 
@@ -350,32 +357,58 @@ def coercion_expr(fs: FieldSpec) -> Column | None:
     return src.try_cast(fs.dtype)
 
 
-def compile_table_spec(spec: TableSpec) -> "ValidationPlan":
+def compile_table_spec(spec: TableSpec, mode: str = "coerce") -> "ValidationPlan":
     """Compile a TableSpec into a ValidationPlan (the analog of resolving a
     SerdeProtocol once per type, reference resolver.py:682-740 — done once,
-    driver-side, then applied to any number of partitions)."""
+    driver-side, then applied to any number of partitions).
+
+    mode (reference strict-mode, typic/strict.py:6-68 + resolver.py:512-547):
+      'coerce' — declared coercions repair values; checks validate the
+                 post-transmute value; unrepairable -> `coerce` violation.
+      'strict' — validate, don't coerce: declared coercions become pure
+                 conformance checks on the RAW value (a value that would
+                 have needed repair is a violation), and value checks run
+                 against the raw column.
+    """
     from typical_spark.plans.validation import ValidationPlan
 
+    if mode not in ("coerce", "strict"):
+        raise ValueError(f"mode must be 'coerce' or 'strict', got {mode!r}")
     compiled: list[CompiledCheck] = []
     coercions: dict[str, Column] = {}
     transforms: dict[str, Column] = {}
     for fs in spec.fields:
         ce = coercion_expr(fs)
         if ce is not None:
-            coercions[fs.name] = ce
-            # transmute failure -> `coerce` violation (the distributed
-            # analog of transmute raising; reference des.py builders +
-            # strict mode typic/strict.py:6-68)
             src = F.col(fs.name)
-            compiled.append(
-                CompiledCheck(
-                    column=fs.name,
-                    check_id="coerce",
-                    expected=f"coercible to {fs.dtype} (from {fs.coerce_from})",
-                    violation_cond=src.isNotNull() & ce.isNull(),
-                    observed=src.cast("string"),
+            if mode == "coerce":
+                coercions[fs.name] = ce
+                # transmute failure -> `coerce` violation (the distributed
+                # analog of transmute raising; reference des.py builders)
+                compiled.append(
+                    CompiledCheck(
+                        column=fs.name,
+                        check_id="coerce",
+                        expected=f"coercible to {fs.dtype} (from {fs.coerce_from})",
+                        violation_cond=src.isNotNull() & ce.isNull(),
+                        observed=src.cast("string"),
+                    )
                 )
-            )
+            else:
+                # strict: validate, never mutate (typic/strict.py: the
+                # deserializer IS the validator, resolver.py:521-524) —
+                # unparseable values violate, parseable ones pass, and the
+                # column is NOT repaired (no projection emitted).
+                compiled.append(
+                    CompiledCheck(
+                        column=fs.name,
+                        check_id="strict_type",
+                        expected=f"parseable as {fs.dtype} (strict: not repaired)",
+                        violation_cond=src.isNotNull() & ce.isNull(),
+                        observed=src.cast("string"),
+                    )
+                )
+                ce = None  # value checks run on the raw column in strict
         val = _value_expr(fs, base=ce)
         # only record a transform projection if it's not the bare column
         if any(

@@ -51,6 +51,38 @@ def json_object(col: Column, schema: str) -> Column:
     return F.from_json(col.cast("string"), schema)
 
 
+# safe_eval analog (reference typic/util.py:100-131: ast.literal_eval then
+# json.loads fallback, so "1", "1.5", "true", "null", '"x"', '{...}' all
+# coerce). Columnar form: classify + parse into a typed variant struct.
+def parse_primitive(col: Column) -> Column:
+    """string -> struct<kind, bool_value, long_value, double_value,
+    string_value> — the typed-variant result of safe_eval. kind in
+    (null, bool, int, float, json, string)."""
+    s = F.trim(col.cast("string"))
+    low = F.lower(s)
+    as_long = s.try_cast("long")
+    as_double = s.try_cast("double")
+    is_json = F.when(
+        s.rlike(r"^[\[\{]"), F.from_json(s, "map<string,string>").isNotNull()
+        | F.from_json(s, "array<string>").isNotNull()
+    ).otherwise(F.lit(False))
+    kind = (
+        F.when(s.isNull() | low.isin("null", "none"), "null")
+        .when(low.isin("true", "false"), "bool")
+        .when(as_long.isNotNull(), "int")
+        .when(as_double.isNotNull(), "float")
+        .when(is_json, "json")
+        .otherwise("string")
+    )
+    return F.struct(
+        kind.alias("kind"),
+        F.when(kind == "bool", low == "true").alias("bool_value"),
+        F.when(kind == "int", as_long).alias("long_value"),
+        F.when(kind.isin("int", "float"), as_double).alias("double_value"),
+        F.when(kind.isin("string", "json"), s).alias("string_value"),
+    )
+
+
 _UUID_RE = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
 
 

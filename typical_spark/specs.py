@@ -153,6 +153,43 @@ class ArrayCheck(Check):
 
 
 @dataclass(frozen=True)
+class CustomCheck(Check):
+    """User-registered check (reference: the FIFO deserializer registry,
+    typic/serde/des.py:122-130 `register(des, check)`). `name` looks up a
+    predicate factory registered via `register_check(name, fn)` where
+    fn(Column) -> Column<boolean> is the OK-predicate (null handling is
+    added by the compiler, same as built-ins)."""
+
+    name: str = ""
+    expected: str = ""
+
+    def check_id(self) -> str:
+        return f"custom_{self.name}"
+
+    def describe(self) -> str:
+        return self.expected or f"passes custom check '{self.name}'"
+
+
+_CUSTOM_CHECKS: dict[str, object] = {}
+
+
+def register_check(name: str, ok_predicate) -> None:
+    """Register fn(Column) -> Column<boolean> under `name` (plugin
+    CheckSpec registry, SURVEY.md A49)."""
+    _CUSTOM_CHECKS[name] = ok_predicate
+
+
+def get_custom_check(name: str):
+    try:
+        return _CUSTOM_CHECKS[name]
+    except KeyError:
+        raise KeyError(
+            f"no custom check registered under {name!r}; call "
+            f"register_check(name, fn) first"
+        ) from None
+
+
+@dataclass(frozen=True)
 class DecimalCheck(Check):
     """Decimal digit constraints — reference typic/constraints/number.py:
     144-215 (max_digits / decimal_places via Decimal.as_tuple counting).
