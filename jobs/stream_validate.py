@@ -1,0 +1,72 @@
+"""Cluster streaming entrypoint: continuous validation of arriving
+transcript files/Iceberg snapshots.
+
+    spark-submit --py-files typical_spark.zip jobs/stream_validate.py \
+        --input <dir watched for parquet> --out <dir> \
+        [--checkpoint <dir>] [--watermark "10 minutes"] [--once]
+
+Runs three concurrent sinks off one source:
+  1. row-level violations (stateless fused plan) -> parquet append
+  2. windowed per-check violation counts (watermarked) -> parquet append
+  3. stateful per-conversation ordering violations -> parquet append
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--watermark", default="10 minutes")
+    ap.add_argument("--once", action="store_true",
+                    help="process available data then stop (availableNow)")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("typical-spark-stream").getOrCreate()
+
+    from typical_spark.compiler import compile_table_spec
+    from typical_spark.schema import spec_to_structtype
+    from typical_spark.specs import transcript_spec
+    from typical_spark.streaming import streaming_validation, windowed_check_stats
+    from typical_spark.streaming.stateful import stateful_ordering_violations
+
+    spec = transcript_spec()
+    plan = compile_table_spec(spec)
+    ckpt = args.checkpoint or f"{args.out.rstrip('/')}/_checkpoints"
+    stream = spark.readStream.schema(spec_to_structtype(spec)).parquet(args.input)
+
+    def sink(df, name):
+        w = (
+            df.writeStream.format("parquet")
+            .option("path", f"{args.out.rstrip('/')}/{name}")
+            .option("checkpointLocation", f"{ckpt}/{name}")
+            .outputMode("append")
+        )
+        if args.once:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    queries = [
+        sink(streaming_validation(stream, plan), "violations"),
+        sink(windowed_check_stats(stream, plan, watermark=args.watermark),
+             "window_stats"),
+        sink(stateful_ordering_violations(stream, watermark=args.watermark),
+             "ordering_violations"),
+    ]
+    for q in queries:
+        q.awaitTermination() if not args.once else q.processAllAvailable()
+    if args.once:
+        for q in queries:
+            q.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
