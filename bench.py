@@ -162,10 +162,13 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # warmup + min-of-2 for the headline number: this sandbox is a shared
-    # host with large wall-time variance (see BASELINE.md notes)
+    # host with large wall-time variance (see BASELINE.md notes). The
+    # flagship runs on the materialized 8M-turn table (2M base x factor 4)
+    # so fixed per-job costs don't dominate the throughput figure.
     os.environ.setdefault("BENCH_REPEAT", "2")
-    flag = _flagship(spark, BENCH_TURNS)
-    timings["transcript_validate_2m"] = round(flag["sec"], 3)
+    factor = int(os.environ.get("BENCH_FACTOR", "4"))
+    flag = _flagship(spark, BENCH_TURNS, factor=factor)
+    timings["transcript_validate"] = round(flag["sec"], 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -92,9 +92,13 @@ def _signed64(x: int) -> int:
 def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
     """n_hashes-wide minhash via the affine-permutation family:
     each shingle is xxhash64'd ONCE, then h_i = min(a_i*h + b_i) with
-    64-bit wraparound. ONE traversal of the shingle array (aggregate with
-    an array accumulator of running minima) instead of n_hashes re-hashes
-    of every string — ~20x less work per row, identical LSH properties."""
+    64-bit wraparound.
+
+    NOTE: this expression form (array aggregate accumulator) is the
+    per-row API; `minhash_near_duplicates` uses the faster equivalent —
+    explode + 64 codegen'd min() aggregates — because Spark interprets
+    (does not codegen) higher-order-function lambdas. Prefer the
+    aggregate formulation for bulk signature computation."""
     consts = _affine_consts(n_hashes)
     ab = F.array(
         *[
