@@ -129,8 +129,7 @@ def main() -> None:
             "n_turns": r_lo["n_turns"],
         }
         try:  # default-mode bench reports the last measured efficiency
-            os.makedirs("/root/repo/.data", exist_ok=True)
-            with open("/root/repo/.data/scaling_last.json", "w") as f:
+            with open("/root/repo/BENCH_SCALING.json", "w") as f:
                 json.dump(result, f)
         except OSError:
             pass
@@ -181,7 +180,7 @@ def main() -> None:
         "bench_turns": flag["n_turns"],
     }
     try:  # attach the last `bench.py --scaling` measurement if available
-        with open("/root/repo/.data/scaling_last.json") as f:
+        with open("/root/repo/BENCH_SCALING.json") as f:
             out["scaling"] = json.load(f)
     except (OSError, ValueError):
         pass
