@@ -94,6 +94,31 @@ def test_duplicate_rows_match_reference(spark, transcripts_pdf, transcripts_df):
     assert g == w
 
 
+def test_salted_keep_first_with_differing_duplicates(spark):
+    """Duplicates that DIFFER in order_by: the salted path must keep the
+    same global order_by-first row as the unsalted path (regression test:
+    bucket offsets were previously ordered by salt index, so rank 1 could
+    land on the wrong row)."""
+    rows = [
+        ("k1", 0, f"2025-01-01 00:00:{s:02d}", f"payload{s}") for s in range(12)
+    ] + [("k2", 1, "2025-01-01 00:01:00", "only")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plain = duplicate_rows(df, ["conv_id", "turn_idx"], ["ts", "text"])
+    salted = duplicate_rows(
+        df, ["conv_id", "turn_idx"], ["ts", "text"], salt_buckets=4
+    )
+    # same DUPLICATE row set => same kept row (the one not returned)
+    key = lambda r: (r["conv_id"], r["turn_idx"], str(r["ts"]), r["text"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+    # the kept row is payload0 (earliest ts) in both
+    kept_p = {key(r) for r in df.collect()} - {key(r) for r in plain.collect()}
+    kept_s = {key(r) for r in df.collect()} - {key(r) for r in salted.collect()}
+    assert kept_p == kept_s
+    assert any("payload0" in k[3] for k in kept_p)
+
+
 def test_dedup_keep_first(spark, transcripts_df):
     keys = ["conv_id", "turn_idx"]
     deduped = dedup_keep_first(transcripts_df, keys, ["ts"])

@@ -102,14 +102,20 @@ def duplicate_rows(
     wcnt = Window.partitionBy(*keys, "_salt")
     local = local.withColumn("_bucket_n", F.count(F.lit(1)).over(wcnt))
     # offset of each salt bucket within the key group (tiny: <= salt_buckets
-    # rows per key reach this window)
+    # rows per key reach this window). Buckets are ordered by their local
+    # FIRST row's order_by values (tie-break by salt), so offset-0's local
+    # first IS the global keep-first — without this, rank 1 would be salt
+    # bucket 0's first, which is wrong whenever duplicates differ in
+    # order_by. Ranks >= 2 remain bucket-interleaved (deterministic, but
+    # not the exact global order positions — callers use rank 1 vs rest).
+    head_order = [c for c in (order_by or [])]
     heads = (
         local.where(F.col("_lrank") == 1)
-        .select(*keys, "_salt", "_bucket_n")
+        .select(*keys, *head_order, "_salt", "_bucket_n")
     )
     wofs = (
         Window.partitionBy(*keys)
-        .orderBy("_salt")
+        .orderBy(*[F.col(c) for c in head_order], "_salt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = heads.withColumn(
