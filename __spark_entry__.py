@@ -330,7 +330,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # epoch seconds as double (NOT unix_timestamp, which truncates to whole
+    # seconds): the 30-min cutoff must see sub-second gaps exactly as the
+    # oracle's epoch() does. TIMESTAMP_NTZ can't cast to double directly;
+    # hop through TIMESTAMP (session tz is UTC, so this is value-preserving).
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    gap = tsd - F.lag(tsd).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = ev.select(
         "user_id", "event_id", "ts", new_sess.alias("_new")
@@ -338,7 +343,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq", F.sum("_new").over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
-        )
+        ).cast("long")
     )
     return (
         sess.groupBy("user_id", "session_seq")
@@ -602,10 +607,17 @@ def oracle_sql() -> dict[str, str]:
                            '(?i)\\b(the|of|and|a|to|in|is|it|you|that|he|was|for|on|are|as|with|his|they|i|at|be|this|have|from|or|one|had|by|word|but|not|what|all|were|we|when|your|can|said|there|use|an|each|which|she|do|how|their|if)\\b')) AS n_stop
                 FROM documents
             )
+            -- NULL-text alignment with the Spark kernel: counts are
+            -- coalesced to 0 and Spark's greatest() ignores NULLs, so
+            -- alpha_r/stop_r are 0.0 for NULL text while mtl_r (whose
+            -- numerator is NULL arithmetic) stays NULL.
             SELECT doc_id,
-                   round(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1), 4) AS alpha_r,
-                   round(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS stop_r,
-                   round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS mtl_r
+                   round(CAST(coalesce(n_alpha, 0) AS DOUBLE)
+                         / GREATEST(coalesce(n_chars, 0), 1), 4) AS alpha_r,
+                   round(CAST(coalesce(n_stop, 0) AS DOUBLE)
+                         / GREATEST(coalesce(n_tokens, 0), 1), 4) AS stop_r,
+                   round(CAST(n_chars - n_tokens + 1 AS DOUBLE)
+                         / GREATEST(coalesce(n_tokens, 0), 1), 4) AS mtl_r
             FROM s
         """,
         "embeddings_topk": """
@@ -660,8 +672,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, min(event_id) AS first_event
             FROM (
                 SELECT user_id, event_id,
-                       sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                       CAST(sum(_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
                 FROM lagged
             )
             GROUP BY 1, 2
@@ -715,9 +728,13 @@ def oracle_sql() -> dict[str, str]:
             WITH j AS (
                 SELECT event_id, TRY_CAST(props AS JSON) AS pj FROM events
             )
+            -- parse_failed must track whether k coerced to BIGINT (Spark's
+            -- from_json nulls the long field for non-integer values), not
+            -- merely whether the key exists as a string.
             SELECT event_id,
                    TRY_CAST(json_extract_string(pj, '$.k') AS BIGINT) AS k,
-                   (pj IS NULL OR json_extract_string(pj, '$.k') IS NULL)
+                   (pj IS NULL OR
+                    TRY_CAST(json_extract_string(pj, '$.k') AS BIGINT) IS NULL)
                        AS parse_failed,
                    coalesce(
                        TRY_CAST(json_extract_string(pj, '$.k') AS BIGINT) < 0,

@@ -160,19 +160,30 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
         return [cc(col.isNull(), observed=F.lit(None).cast("string"))]
 
     if isinstance(chk, NumberCheck):
+        # Compare on a try_cast view of the column: identity (folded away
+        # by Catalyst) when the column already has the declared type, NULL
+        # for raw values that don't parse — which matches the non-ANSI
+        # implicit-cast-to-NULL semantics, so the predicate never throws
+        # under spark.sql.ansi.enabled=true (strict mode range-checks the
+        # RAW column, which may be a string; 'zzz' must flag strict_type,
+        # not crash the job).
+        num = col.try_cast(fs.dtype)
         preds = []
         if chk.gt is not None:
-            preds.append(col > F.lit(chk.gt))
+            preds.append(num > F.lit(chk.gt))
         if chk.ge is not None:
-            preds.append(col >= F.lit(chk.ge))
+            preds.append(num >= F.lit(chk.ge))
         if chk.lt is not None:
-            preds.append(col < F.lit(chk.lt))
+            preds.append(num < F.lit(chk.lt))
         if chk.le is not None:
-            preds.append(col <= F.lit(chk.le))
+            preds.append(num <= F.lit(chk.le))
         if chk.multiple_of is not None:
-            preds.append(col % F.lit(chk.multiple_of) == 0)
-        ok = preds[0]
-        for p in preds[1:]:
+            preds.append(num % F.lit(chk.multiple_of) == 0)
+        # degenerate NumberCheck() with no bound set: vacuously ok (the
+        # scalar_violation_pred path already behaved this way; an
+        # unguarded preds[0] raised IndexError here)
+        ok = F.lit(True)
+        for p in preds:
             ok = ok & p
         return [cc(nn & ~ok)]
 
@@ -198,11 +209,15 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
         return [cc(nn & ~col.isin(list(chk.values)))]
 
     if isinstance(chk, TimestampRangeCheck):
+        # try_cast view for the same ANSI-safety reason as NumberCheck:
+        # a malformed raw string must yield NULL (no violation row from
+        # this check; strict_type catches it), never throw.
+        ts = col.try_cast(fs.dtype)
         ok = F.lit(True)
         if chk.min_ts is not None:
-            ok = ok & (col >= F.lit(chk.min_ts))
+            ok = ok & (ts >= F.lit(chk.min_ts))
         if chk.max_ts is not None:
-            ok = ok & (col < F.lit(chk.max_ts))
+            ok = ok & (ts < F.lit(chk.max_ts))
         return [cc(nn & ~ok)]
 
     if isinstance(chk, ArrayCheck):

@@ -70,49 +70,31 @@ def exact_duplicates(
 _MAX_LONG = (1 << 63) - 1
 
 
-def _affine_consts(n: int, seed: int = 0x9E3779B9) -> list[tuple[int, int]]:
-    """Deterministic odd multipliers + offsets for the affine minhash
-    family h_i(x) = a_i*x + b_i over Z/2^64 (Java long wrap)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    out = []
-    for _ in range(n):
-        a = int(rng.integers(1, _MAX_LONG)) | 1  # odd -> bijective mod 2^64
-        b = int(rng.integers(0, _MAX_LONG))
-        out.append((_signed64(a), _signed64(b)))
-    return out
-
-
-def _signed64(x: int) -> int:
-    x &= (1 << 64) - 1
-    return x - (1 << 64) if x >= (1 << 63) else x
-
-
 def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
-    """n_hashes-wide minhash via the affine-permutation family:
-    each shingle is xxhash64'd ONCE, then h_i = min(a_i*h + b_i) with
-    64-bit wraparound.
+    """n_hashes-wide minhash via a seeded hash-of-hash family:
+    each shingle is xxhash64'd ONCE to a long `h`, then
+    h_i = min over shingles of xxhash64(h, i).
+
+    Re-hashing with a per-index seed is a valid minhash family (each
+    index is an independent uniform hash of the shingle) and — unlike
+    the classic affine a*h+b over Z/2^64 — involves NO overflow-prone
+    arithmetic, so it is safe under spark.sql.ansi.enabled=true (the
+    Spark 4.x default); xxhash64 of a fixed 12-byte (long, int) input is
+    whole-stage-codegen'd and cheap.
 
     NOTE: this expression form (array aggregate accumulator) is the
     per-row API; `minhash_near_duplicates` uses the faster equivalent —
-    explode + 64 codegen'd min() aggregates — because Spark interprets
-    (does not codegen) higher-order-function lambdas. Prefer the
-    aggregate formulation for bulk signature computation."""
-    consts = _affine_consts(n_hashes)
-    ab = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in consts
-        ]
-    )
+    explode + n_hashes codegen'd min() aggregates — because Spark
+    interprets (does not codegen) higher-order-function lambdas. Prefer
+    the aggregate formulation for bulk signature computation."""
+    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), n_hashes)
     return F.aggregate(
         hashes,
         init,
         lambda acc, h: F.zip_with(
-            acc, ab, lambda m, c: F.least(m, c["a"] * h + c["b"])
+            acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
         ),
     )
 
@@ -146,15 +128,17 @@ def minhash_near_duplicates(
     # Signature via explode + 64 min() aggregates: hash aggregation is
     # whole-stage-codegen'd with map-side partial combine, an order of
     # magnitude faster than interpreted array-lambda accumulators; the
-    # shuffle carries one partial row per id per partition.
-    consts = _affine_consts(n_hashes)
+    # shuffle carries one partial row per id per partition. Same seeded
+    # xxhash64(h, i) family as minhash_signature — overflow-free, so the
+    # operator is correct under ANSI mode (Spark 4.x default) without
+    # relying on any session-level arithmetic toggle.
     hashed = sh.select(
         "_id", F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_h")
     )
     sig = hashed.groupBy("_id").agg(
         *[
-            F.min(F.lit(a) * F.col("_h") + F.lit(b)).alias(f"_m{i}")
-            for i, (a, b) in enumerate(consts)
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(n_hashes)
         ]
     ).select(
         "_id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("_sig")

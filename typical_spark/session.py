@@ -18,6 +18,7 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    ansi: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -45,10 +46,6 @@ def get_spark(
         # "vectorized pandas/Arrow UDFs only" rule (no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # The engine validates dirty data: casts must yield NULL (which we
-        # turn into violation rows), never throw mid-job. All intentional
-        # coercions also use try_* explicitly; this covers implicit ones.
-        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # Size input splits so every core gets work even on the small
         # single-file test parquet (default 128m -> 1 split -> serial agg).
@@ -72,6 +69,16 @@ def get_spark(
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
+    # ANSI mode: every operator in the engine is written to be correct
+    # under spark.sql.ansi.enabled=true (the Spark 4.x default, and what
+    # external harnesses run) — intentional coercions of dirty data use
+    # try_* explicitly, and no kernel relies on silent arithmetic
+    # wraparound. ansi=None therefore leaves the cluster/Spark default in
+    # place; pass ansi=False only as a belt-and-braces setting for
+    # deployments validating data so dirty that even incidental implicit
+    # casts must degrade to NULL instead of failing the job.
+    if ansi is not None:
+        builder = builder.config("spark.sql.ansi.enabled", str(ansi).lower())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
