@@ -232,27 +232,60 @@ def q_embeddings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_documents_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via minhash-LSH (rows-only: hash fns engine-specific)."""
+    """Near-dup pairs via minhash-LSH banding + exact-Jaccard verify,
+    keep-first exact-group collapse. Oracle: exact all-pairs Jaccard in
+    DuckDB over the identical shingle definition — valid because the
+    verify stage makes LSH output exact up to banding recall, which at
+    (64 hashes, 16 bands) is >0.999 for pairs at the 0.8 threshold."""
     from typical_spark.operators.dedup import minhash_near_duplicates
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.8)
+    out = minhash_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
 def q_documents_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via simhash hamming<=3 (rows-only)."""
-    from typical_spark.operators.dedup import simhash_near_duplicates
+    """Near-dup pairs via simhash hamming<=3, keep-first collapse. Uses
+    the md5-derived token hash (dedup.md5_lower64) so the signature is
+    bit-reproducible in DuckDB (md5_number_lower): the oracle recomputes
+    the full simhash + all-pairs hamming. Chunk blocking is EXACT for
+    hamming<=3 (pigeonhole over 4 16-bit chunks), so Spark == oracle.
+    Production callers keep the default xxhash64 token hash."""
+    from typical_spark.operators.dedup import md5_lower64, simhash_near_duplicates
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=3, token_hash=md5_lower64
+    )
 
 
 def q_embeddings_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via hyperplane LSH (rows-only)."""
+    """Embedding near-dup pairs via hyperplane LSH + exact cosine verify.
+    The fixture has no natural near-dups (max pairwise cosine ~0.51), so
+    the query plants one deterministic near-duplicate per vector — a
+    +0.05 perturbation of the first component, reproducible in SQL —
+    giving a non-vacuous result (one pair per vector at cosine ~0.9988)
+    that an exact all-pairs DuckDB oracle verifies for both completeness
+    (LSH recall: miss prob < 1e-7 per pair at 8 planes x 8 tables) and
+    precision."""
     from typical_spark.operators.similarity import embedding_near_duplicates
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, cosine_threshold=0.99)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) + F.lit(0.05)),
+            F.slice("emb", 2, 1_000_000),
+        ).alias("emb"),
+    )
+    corpus = emb.unionByName(pert)
+    out = embedding_near_duplicates(
+        corpus, id_col="vec_id", vec_col="emb",
+        n_planes=8, n_tables=8, cosine_threshold=0.99,
+    )
+    return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cos_r"))
 
 
 # ---------------------------------------------------------------------------
@@ -619,6 +652,102 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_chars - n_tokens + 1 AS DOUBLE)
                          / GREATEST(coalesce(n_tokens, 0), 1), 4) AS mtl_r
             FROM s
+        """,
+        "documents_minhash_pairs": """
+            -- exact twin of the engine's minhash-LSH + keep-first collapse:
+            -- identical-normalized-text groups emit (rep, member, 1.0) star
+            -- pairs; representatives pair by EXACT all-pairs Jaccard over the
+            -- same distinct 3-word shingles (LSH banding + verify is exact up
+            -- to >0.999 recall at the 0.8 threshold).
+            WITH norm AS (
+                SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+                FROM documents WHERE text IS NOT NULL
+            ),
+            hk AS (SELECT doc_id, md5(n) AS h, n FROM norm),
+            grp AS (SELECT h, min(doc_id) AS rep FROM hk GROUP BY 1),
+            star AS (
+                SELECT g.rep AS id_a, k.doc_id AS id_b,
+                       CAST(1.0 AS DOUBLE) AS jaccard_r
+                FROM hk k JOIN grp g USING (h) WHERE k.doc_id <> g.rep
+            ),
+            reps AS (SELECT k.doc_id, k.n FROM hk k JOIN grp g ON k.doc_id = g.rep),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, string_split(n, ' ') AS w FROM reps)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(j, 4) AS jaccard_r FROM pairs WHERE j >= 0.8
+            UNION ALL
+            SELECT id_a, id_b, jaccard_r FROM star
+        """,
+        "documents_simhash_pairs": """
+            -- full simhash recomputation: md5_number_lower is bit-identical
+            -- to the engine's md5_lower64 token hash, so signatures match
+            -- exactly; chunk blocking in the engine is EXACT for hamming<=3
+            -- (pigeonhole), so all-pairs hamming here is the same set.
+            WITH norm AS (
+                SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+                FROM documents WHERE text IS NOT NULL
+            ),
+            hk AS (SELECT doc_id, md5(n) AS h FROM norm),
+            grp AS (SELECT h, min(doc_id) AS rep FROM hk GROUP BY 1),
+            star AS (
+                SELECT g.rep AS id_a, k.doc_id AS id_b, CAST(0 AS INT) AS hamming
+                FROM hk k JOIN grp g USING (h) WHERE k.doc_id <> g.rep
+            ),
+            reps AS (SELECT nn.doc_id, nn.n FROM norm nn JOIN grp g ON nn.doc_id = g.rep),
+            toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS t FROM reps),
+            th AS (SELECT doc_id, md5_number_lower(t) AS hh FROM toks),
+            votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM th, (SELECT unnest(range(0, 64)) AS b) bits
+                GROUP BY 1, 2
+            ),
+            sigs AS (
+                SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+                       CASE WHEN b = 63 THEN CAST(-9223372036854775807 - 1 AS HUGEINT)
+                            ELSE CAST(CAST(1 AS BIGINT) << b AS HUGEINT) END
+                       ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sig
+                FROM votes GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+                FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+            UNION ALL
+            SELECT id_a, id_b, hamming FROM star
+        """,
+        "embeddings_near_dups": """
+            -- planted near-dups (+0.05 on component 1, ids offset by 1e6)
+            -- verified by exact all-pairs cosine: completeness (every
+            -- planted pair found) AND precision (nothing else).
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            ),
+            pert AS (
+                SELECT vec_id + 1000000 AS vec_id,
+                       list_concat([emb[1] + 0.05], emb[2:]) AS emb
+                FROM base
+            ),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(a.emb, b.emb) AS c
+                FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 4) AS cos_r FROM pairs WHERE c >= 0.99
         """,
         "embeddings_topk": """
             SELECT b.vec_id,

@@ -120,12 +120,81 @@ def test_minhash_near_duplicates(spark, docs_df):
         docs_df, "doc_id", "text", jaccard_threshold=0.5
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
-    # dup group + the near pair must be found; unrelated docs must not pair
-    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
-    assert any(p in got for p in [(0, 3), (1, 3), (2, 3)])
+    # keep-first collapse: members of the exact group {0,1,2} pair with
+    # representative 0 only; the near-dup 3 pairs with the rep
+    assert (0, 1) in got and (0, 2) in got
+    assert (1, 2) not in got  # member-member pair collapsed away
+    assert (0, 3) in got
     assert not any(4 in p or 5 in p for p in got)
     jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     assert jac[(0, 1)] == 1.0
+
+    # collapse off -> classic all-pairs-within-bucket semantics
+    allp = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs_df, "doc_id", "text", jaccard_threshold=0.5,
+            collapse_exact=False,
+        ).collect()
+    }
+    assert (1, 2) in allp and (0, 1) in allp
+
+
+def test_exact_group_collapse_linear_pairs(spark):
+    """k identical docs must produce O(k) pairs (star to the rep), not
+    O(k^2) — the LSH bucket-blowup guard at web duplication rates."""
+    k = 300
+    rows = [
+        (i, "identical boilerplate text repeated many times across the "
+            "corpus with enough words to form several shingles")
+        for i in range(k)
+    ]
+    rows += [
+        (1000, "a totally different gardening manual about pruning roses "
+               "and watering tomato seedlings in early spring"),
+        (1001, "a totally different gardening manual about pruning roses "
+               "and watering tomato seedlings in early spring"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = minhash_near_duplicates(df, "doc_id", "text", jaccard_threshold=0.7)
+    rows_mh = mh.collect()
+    assert len(rows_mh) == (k - 1) + 1  # 299 star pairs + 1 for the pair group
+    assert {r["id_a"] for r in rows_mh} == {0, 1000}
+    assert all(r["jaccard"] == 1.0 for r in rows_mh)
+    sh_rows = simhash_near_duplicates(df, "doc_id", "text").collect()
+    assert len(sh_rows) == (k - 1) + 1
+    assert all(r["hamming"] == 0 for r in sh_rows)
+
+
+def test_md5_lower64_matches_duckdb(spark):
+    import duckdb
+
+    from typical_spark.operators.dedup import md5_lower64
+
+    vals = ["abc", "", "hello world", "Ünïcode ✓ test", "42", "a" * 300]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r[0] for r in df.select(md5_lower64(F.col("s"))).collect()]
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        (u,) = con.execute("SELECT md5_number_lower(?)", [v]).fetchone()
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        assert g == signed, v
+
+
+def test_simhash_signatures_match_column_api(spark, docs_df):
+    from typical_spark.operators.dedup import simhash_signatures
+
+    bulk = {
+        r["_id"]: r["_sig"]
+        for r in simhash_signatures(docs_df, "doc_id", "text").collect()
+    }
+    percol = {
+        r["doc_id"]: r["s"]
+        for r in docs_df.select(
+            "doc_id", simhash64(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert bulk == percol
 
 
 def test_simhash_near_duplicates(spark, docs_df):
@@ -196,6 +265,24 @@ def test_embedding_near_duplicates(spark, emb_df):
     assert (100, 101) in got
     # sparse random normals: no other pair should clear 0.98
     assert len(got) <= 3
+
+
+def test_embedding_exact_collapse(spark):
+    """Identical vectors collapse keep-first: O(k) star pairs, reps only
+    in the bucket join."""
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(16).astype(np.float32)
+    w = rng.standard_normal(16).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i in range(50)]
+    rows += [(100, [float(x) for x in w]), (101, [float(x) for x in w])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_duplicates(
+        df, cosine_threshold=0.99, n_planes=4, n_tables=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(got) == 49 + 1
+    assert {a for a, _ in got} == {0, 100}
+    assert all(r["cosine_sim"] == 1.0 for r in pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -153,15 +153,55 @@ def embedding_near_duplicates(
     cosine_threshold: float = 0.95,
     seed: int = 42,
     dim: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. n_tables independent sign-bucket
     keys (n_planes random hyperplanes each); candidates meet only within
-    a bucket; exact cosine verifies. Output: (id_a, id_b, cosine_sim)."""
+    a bucket; exact cosine verifies. Output: (id_a, id_b, cosine_sim).
+
+    Shuffle discipline: the bucket self-join moves only narrow
+    (id, table, bkey) rows; vectors are joined back for the cosine
+    verify of candidates only — at 10^9 vectors the banding shuffle
+    stays ~GBs instead of the corpus size.
+
+    collapse_exact: bit-identical vectors are collapsed to their min-id
+    representative before banding — (rep, member, 1.0) star pairs,
+    O(k) not O(k^2) per exact-duplicate group (see dedup._exact_group_reps
+    for why this matters at web duplication rates)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    from pyspark.sql import Window
+
+    from typical_spark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    star = None
+    if collapse_exact:
+        w = Window.partitionBy("_v")
+        grouped = base.select(
+            "_id",
+            F.when(F.col("_v").isNull(), F.col("_id"))
+            .otherwise(F.min("_id").over(w))
+            .alias("_rep"),
+        )
+        star = (
+            grouped.where(F.col("_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(1.0).alias("cosine_sim"),  # identical vectors
+            )
+            .where(F.lit(1.0) >= F.lit(cosine_threshold))
+        )
+        reps = grouped.where(F.col("_id") == F.col("_rep")).select(
+            F.col("_id").alias("_rid")
+        )
+        base = base.join(reps, base["_id"] == F.col("_rid"), "left_semi")
     rng = np.random.default_rng(seed)
     keys = []
-    v = F.col(vec_col).cast("array<double>")
+    v = F.col("_v").cast("array<double>")
     for t in range(n_tables):
         planes = rng.standard_normal((n_planes, dim))
         bits = [
@@ -171,12 +211,11 @@ def embedding_near_duplicates(
         keys.append(
             F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("bkey"))
         )
-    from typical_spark.operators.dedup import _ensure_parallelism
-
-    tagged = _ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        F.explode(F.array(*keys)).alias("kk"),
-    ).select("_id", "_v", "kk.table", "kk.bkey")
+    # narrow banding rows: the wide vector payload does NOT ride the
+    # bucket shuffle (bits are computed map-side, then dropped)
+    tagged = base.select(
+        "_id", F.explode(F.array(*keys)).alias("kk")
+    ).select("_id", "kk.table", "kk.bkey")
     l, r_ = tagged.alias("l"), tagged.alias("r")
     cand = (
         l.join(
@@ -185,18 +224,25 @@ def embedding_near_duplicates(
             & (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._v").alias("va"),
-            F.col("r._v").alias("vb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    out = cand.withColumn(
-        "cosine_sim",
-        cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine_sim",
+            cosine(
+                F.col("va").cast("array<double>"),
+                F.col("vb").cast("array<double>"),
+            ),
+        )
     )
-    return out.where(F.col("cosine_sim") >= cosine_threshold).select(
+    out = out.where(F.col("cosine_sim") >= cosine_threshold).select(
         "id_a", "id_b", "cosine_sim"
     )
+    if star is not None:
+        out = out.unionAll(star)
+    return out
