@@ -433,6 +433,36 @@ def q_events_props_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-duration + time-of-day round trip at the gate (A32/A33
+    deserialize halves): serialize a per-event seconds value to ISO-8601
+    "PnDTnHnMnS" / "HH:mm:ss", parse back with the strict grammars.
+    Known-answer oracle: the parsed value must equal the source seconds
+    exactly; every 7th event gets its (JSON) props string instead, which
+    the strict grammar must reject to NULL."""
+    from typical_spark.functions.coerce import (
+        iso_duration_seconds,
+        time_of_day_seconds,
+    )
+    from typical_spark.serde import iso_duration_from_seconds, iso_time_from_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    n = F.floor(F.col("value") * 10).cast("long")
+    n_signed = F.when(F.col("event_id") % 3 == 0, -n).otherwise(n)
+    dur_str = F.when(
+        F.col("event_id") % 7 == 0, F.col("props")
+    ).otherwise(iso_duration_from_seconds(n_signed))
+    tod = F.floor(F.col("value") * 80).cast("long")
+    tod_str = iso_time_from_seconds(tod)
+    parsed_dur = iso_duration_seconds(dur_str)
+    return ev.select(
+        "event_id",
+        parsed_dur.alias("dur_secs"),
+        parsed_dur.isNotNull().alias("parse_ok"),
+        time_of_day_seconds(tod_str).alias("tod_secs"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -464,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_except": q_documents_except,
         "orders_verdicts": q_orders_verdicts,
         "events_props_coerce": q_events_props_coerce,
+        "events_durations": q_events_durations,
     }
 
 
@@ -869,6 +900,28 @@ def oracle_sql() -> dict[str, str]:
                        TRY_CAST(json_extract_string(pj, '$.k') AS BIGINT) < 0,
                        FALSE) AS negative_k
             FROM j
+        """,
+        "events_durations": """
+            -- known-answer oracle for the ISO-duration/time round trip:
+            -- the strict grammar must recover the exact source seconds,
+            -- reject the every-7th JSON-props injection, and NULL the
+            -- out-of-range times.
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 OR value IS NULL
+                        THEN CAST(NULL AS DOUBLE)
+                        -- 0 - x, not -x: avoids IEEE -0.0 when x = 0
+                        ELSE CAST(CASE WHEN event_id % 3 = 0
+                                       THEN 0 - floor(value * 10)
+                                       ELSE floor(value * 10) END AS DOUBLE)
+                   END AS dur_secs,
+                   coalesce(event_id % 7 <> 0, TRUE) AND value IS NOT NULL
+                       AS parse_ok,
+                   CASE WHEN value IS NOT NULL
+                             AND floor(value * 80) >= 0
+                             AND floor(value * 80) < 86400
+                        THEN CAST(floor(value * 80) AS DOUBLE)
+                   END AS tod_secs
+            FROM events
         """,
         "events_ts_ordering": """
             SELECT user_id, event_id, 'ts_out_of_order' AS check_id,

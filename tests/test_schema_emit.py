@@ -68,3 +68,62 @@ def test_jsonschema_agrees_with_engine(spark):
     errs = list(jsonschema.Draft7Validator(sch).iter_errors(bad_doc))
     bad_fields = {list(e.path)[0] for e in errs if e.path}
     assert bad_fields == {"role", "turn_idx"}
+
+
+def test_defs_and_refs_shared_spec():
+    """$defs/$ref for nested/reused specs (reference
+    typic/ext/schema/schema.py:398-430 definitions): a spec referenced by
+    two fields is emitted ONCE under $defs; both fields $ref it; a
+    third-party validator accepts/rejects accordingly."""
+    from typical_spark.specs import FieldSpec, NumberCheck, TableSpec, TextCheck
+
+    address = TableSpec(
+        name="address", key_columns=(),
+        fields=(
+            FieldSpec("street", "string", nullable=False,
+                      checks=(TextCheck(min_length=1),)),
+            FieldSpec("zipcode", "string", nullable=False,
+                      checks=(TextCheck(regex=r"^[0-9]{5}$"),)),
+        ),
+    )
+    person = TableSpec(
+        name="person", key_columns=("pid",),
+        fields=(
+            FieldSpec("pid", "long", nullable=False, checks=(NumberCheck(ge=0),)),
+            FieldSpec("home", "struct", nullable=True),
+            FieldSpec("work", "struct", nullable=True),
+        ),
+    )
+    sch = spec_to_json_schema(
+        person,
+        refs={"address": address},
+        field_refs={"home": "address", "work": "address"},
+    )
+    assert list(sch["$defs"].keys()) == ["address"]
+    assert sch["properties"]["home"]["anyOf"][0] == {"$ref": "#/$defs/address"}
+    assert sch["properties"]["work"]["anyOf"][0] == {"$ref": "#/$defs/address"}
+    assert json.dumps(sch)  # serializable
+    try:
+        import jsonschema
+    except ImportError:
+        import pytest
+
+        pytest.skip("jsonschema not installed")
+    ok = {"pid": 1, "home": {"street": "a st", "zipcode": "12345"},
+          "work": None}
+    bad = {"pid": 1, "home": {"street": "a st", "zipcode": "nope"}}
+    jsonschema.validate(ok, sch)
+    import pytest
+
+    with pytest.raises(jsonschema.ValidationError):
+        jsonschema.validate(bad, sch)
+
+
+def test_field_refs_must_resolve():
+    from typical_spark.specs import FieldSpec, TableSpec
+    import pytest
+
+    spec = TableSpec(name="t", key_columns=(),
+                     fields=(FieldSpec("x", "struct"),))
+    with pytest.raises(ValueError, match="undefined"):
+        spec_to_json_schema(spec, refs={}, field_refs={"x": "nope"})

@@ -346,18 +346,57 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
     raise TypeError(f"no compiler for check type {type(chk).__name__}")
 
 
-def coercion_expr(fs: FieldSpec) -> Column | None:
-    """Repair projection for `coerce_from` fields — the distributed
-    transmute (reference typic/serde/des.py). Returns the coerced column or
-    None if the field needs no coercion. Failed coercion -> NULL, which the
-    plan converts into a `coerce` violation (strict-mode analog,
-    reference typic/strict.py:6-68)."""
-    if fs.coerce_from is None:
-        return None
+def _split_map_dtype(dtype: str) -> tuple[str, str]:
+    """'map<k, v>' -> ('k', 'v'), splitting at the top-level comma only
+    (nested generics like map<string, array<int>> parse correctly)."""
+    s = dtype.strip()
+    if not (s.lower().startswith("map<") and s.endswith(">")):
+        raise ValueError(f"map coercion requires a map<k,v> dtype, got {dtype!r}")
+    inner = s[4:-1]
+    depth = 0
+    for i, ch in enumerate(inner):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return inner[:i].strip(), inner[i + 1:].strip()
+    raise ValueError(f"cannot split map dtype {dtype!r}")
+
+
+def _map_coercion(src: Column, dtype: str) -> Column:
+    """Keyed mapping coercion (A41, reference des.py:447-508): cast every
+    key and value to the declared map<k,v> types. Transmute semantics: if
+    ANY key fails to cast (or two keys collide after casting, e.g. '1'
+    and '01' -> 1) or any non-null value fails, the whole map coerces to
+    NULL — the columnar analog of the reference raising mid-dict. The
+    CASE guard keeps transform_keys from ever building a null/duplicate
+    key, so this never throws, ANSI or not."""
+    kt, vt = _split_map_dtype(dtype)
+    keys = F.map_keys(src)
+    cast_keys = F.transform(keys, lambda k: k.try_cast(kt))
+    keys_ok = F.forall(cast_keys, lambda k: k.isNotNull()) & (
+        F.size(F.array_distinct(cast_keys)) == F.size(keys)
+    )
+    values_ok = F.forall(
+        F.map_values(src), lambda v: v.isNull() | v.try_cast(vt).isNotNull()
+    )
+    coerced = F.transform_values(
+        F.transform_keys(src, lambda k, v: k.try_cast(kt)),
+        lambda k, v: v.try_cast(vt),
+    )
+    null_map = F.lit(None).cast(dtype)
+    return (
+        F.when(src.isNull(), null_map)
+        .when(keys_ok & values_ok, coerced)
+        .otherwise(null_map)
+    )
+
+
+def _strategy_expr(how: str, src: Column, fs: FieldSpec) -> Column:
+    """One named coercion strategy -> Column of the field's declared type."""
     from typical_spark.functions import coerce as CK
 
-    src = F.col(fs.name)
-    how = fs.coerce_from
     if how == "epoch":  # epoch seconds int/float -> timestamp, des.py:178-196
         return CK.epoch_timestamp(src)
     if how == "bool_like":  # des.py:281-288 + safe_eval util.py:100-131
@@ -368,8 +407,40 @@ def coercion_expr(fs: FieldSpec) -> Column | None:
         return CK.uuid_normalize(src)
     if how.startswith("json:"):  # des via JSON parse, util.py:100-131
         return CK.json_object(src, how[len("json:"):])
+    if how == "iso_duration":  # A33 deserialize half, des.py:253-261
+        if fs.dtype.strip().lower().startswith("interval"):
+            return CK.iso_duration_interval(src)
+        return CK.iso_duration_seconds(src).try_cast(fs.dtype)
+    if how == "time":  # A32 deserialize half: HH:mm:ss[.f] -> seconds-of-day
+        return CK.time_of_day_seconds(src).try_cast(fs.dtype)
+    if how == "map":  # A41 keyed mapping coercion
+        return _map_coercion(src, fs.dtype)
     # default: plain cast attempt (reference des.py:353-368 builtin ctor)
     return src.try_cast(fs.dtype)
+
+
+def coercion_expr(fs: FieldSpec) -> Column | None:
+    """Repair projection for `coerce_from` fields — the distributed
+    transmute (reference typic/serde/des.py). Returns the coerced column or
+    None if the field needs no coercion. Failed coercion -> NULL, which the
+    plan converts into a `coerce` violation (strict-mode analog,
+    reference typic/strict.py:6-68).
+
+    `coerce_from="union:a|b|c"` is the ordered generic-union try-each
+    (A47 coerce half, reference des.py:732-764 — try order matters):
+    strategies compile to coalesce(a, b, c), first non-NULL parse wins.
+    Every member strategy must produce the field's declared dtype (the
+    variant-typed case is parse_primitive's territory)."""
+    if fs.coerce_from is None:
+        return None
+    src = F.col(fs.name)
+    how = fs.coerce_from
+    if how.startswith("union:"):
+        parts = [p.strip() for p in how[len("union:"):].split("|") if p.strip()]
+        if not parts:
+            raise ValueError(f"empty union coercion spec on field {fs.name!r}")
+        return F.coalesce(*[_strategy_expr(p, src, fs) for p in parts])
+    return _strategy_expr(how, src, fs)
 
 
 def compile_table_spec(spec: TableSpec, mode: str = "coerce") -> "ValidationPlan":

@@ -83,6 +83,60 @@ def parse_primitive(col: Column) -> Column:
     )
 
 
+# ISO-8601 duration "P[nD][T[nH][nM][n[.f]S]]" -> total seconds (double).
+# The deserialize half of A33 (reference des.py:253-261 parses durations
+# via pendulum; serializer twin: serde.iso_duration_from_seconds). An
+# optional leading '-' negates the whole duration, matching the
+# serializer's output for negative timedeltas. Anything that doesn't
+# match the grammar (or is an empty "P"/"PT") -> NULL.
+_ISO_DUR_RE = r"^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+
+
+def iso_duration_seconds(col: Column) -> Column:
+    s = F.upper(F.trim(col.cast("string")))
+    sign = F.when(s.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    b = F.regexp_replace(s, "^-", "")
+    # at least one component must be present (bare "P"/"PT" is invalid)
+    has_component = b.rlike(r"\d")
+    ok = b.rlike(_ISO_DUR_RE) & has_component
+    part = lambda g: F.coalesce(  # noqa: E731
+        F.regexp_extract(b, _ISO_DUR_RE, g).try_cast("double"), F.lit(0.0)
+    )
+    total = (
+        part(1) * 86400.0 + part(2) * 3600.0 + part(3) * 60.0 + part(4)
+    )
+    return F.when(ok, sign * total).otherwise(F.lit(None).cast("double"))
+
+
+def iso_duration_interval(col: Column) -> Column:
+    """Same parse, materialized as a DayTimeIntervalType — use when the
+    target field is declared `interval day to second`."""
+    secs = iso_duration_seconds(col)
+    return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+
+
+# Time-of-day "HH:mm:ss[.ffffff]" -> seconds since midnight (double) —
+# the deserialize half of A32 (reference des.py time handling; Spark has
+# no first-class TIME type, so seconds-of-day is the columnar carrier;
+# serializer twin: serde.iso_time_from_seconds). Strict zero-padded
+# fields with range validation; invalid -> NULL.
+_TIME_RE = r"^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9])(\.\d{1,6})?$"
+
+
+def time_of_day_seconds(col: Column) -> Column:
+    s = F.trim(col.cast("string"))
+    ok = s.rlike(_TIME_RE)
+    g = lambda i: F.regexp_extract(s, _TIME_RE, i)  # noqa: E731
+    frac = F.coalesce(g(4).try_cast("double"), F.lit(0.0))
+    total = (
+        g(1).try_cast("double") * 3600.0
+        + g(2).try_cast("double") * 60.0
+        + g(3).try_cast("double")
+        + frac
+    )
+    return F.when(ok, total).otherwise(F.lit(None).cast("double"))
+
+
 _UUID_RE = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
 
 

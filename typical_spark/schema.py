@@ -143,9 +143,12 @@ def _field_json_schema(fs: FieldSpec) -> dict:
     return sch
 
 
-def spec_to_json_schema(spec: TableSpec, title: str | None = None) -> dict:
-    """JSON-Schema (draft-07 vocabulary) document for one table row —
-    the analog of `typic.schema(Model)`."""
+def _spec_object_schema(
+    spec: TableSpec, field_refs: dict[str, str] | None = None
+) -> dict:
+    """Object-schema body (no $schema header) — shared by the root
+    document and by $defs entries."""
+    field_refs = field_refs or {}
     props: dict = {}
     required: list[str] = []
     for fs in spec.fields:
@@ -158,17 +161,52 @@ def spec_to_json_schema(spec: TableSpec, title: str | None = None) -> dict:
                 FieldSpec(leaf, fs.dtype, nullable=True, checks=fs.checks)
             )
             continue
-        props[fs.name] = _field_json_schema(fs)
+        if fs.name in field_refs:
+            ref = {"$ref": f"#/$defs/{field_refs[fs.name]}"}
+            props[fs.name] = (
+                {"anyOf": [ref, {"type": "null"}]} if fs.nullable else ref
+            )
+        else:
+            props[fs.name] = _field_json_schema(fs)
         if not fs.nullable or any(isinstance(c, NotNullCheck) for c in fs.checks):
             required.append(fs.name)
     return {
-        "$schema": "http://json-schema.org/draft-07/schema#",
-        "title": title or spec.name,
         "type": "object",
         "properties": props,
         "required": sorted(set(required)),
         "additionalProperties": True,
     }
+
+
+def spec_to_json_schema(
+    spec: TableSpec,
+    title: str | None = None,
+    refs: dict[str, TableSpec] | None = None,
+    field_refs: dict[str, str] | None = None,
+) -> dict:
+    """JSON-Schema (draft-07 vocabulary) document for one table row —
+    the analog of `typic.schema(Model)`.
+
+    refs / field_refs give shared nested specs the reference's
+    definitions treatment (typic/ext/schema/schema.py:398-430): each
+    entry of `refs` ({name: TableSpec}) is emitted ONCE under $defs, and
+    every root field listed in `field_refs` ({field_name: ref_name})
+    becomes a `$ref` to it instead of an inlined object — so a spec
+    reused by several fields appears a single time."""
+    doc = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": title or spec.name,
+        **_spec_object_schema(spec, field_refs),
+    }
+    missing = {r for r in (field_refs or {}).values() if r not in (refs or {})}
+    if missing:
+        raise ValueError(f"field_refs point at undefined $defs: {sorted(missing)}")
+    if refs:
+        doc["$defs"] = {
+            name: {"title": name, **_spec_object_schema(s)}
+            for name, s in sorted(refs.items())
+        }
+    return doc
 
 
 def json_schema_str(spec: TableSpec, **kw) -> str:

@@ -49,6 +49,26 @@ def iso_duration_from_seconds(col: Column) -> Column:
     ).otherwise(body)
 
 
+def iso_time_from_seconds(col: Column) -> Column:
+    """seconds-since-midnight -> "HH:mm:ss" time-of-day string (the
+    serialize half of A32; parse twin coerce.time_of_day_seconds).
+    Out-of-range input (<0 or >=86400) -> NULL."""
+    t = col.cast("double")
+    whole = F.floor(t).cast("long")
+    h = (whole / 3600).cast("long")
+    m = ((whole % 3600) / 60).cast("long")
+    s = whole % 60
+    out = F.concat_ws(
+        ":",
+        F.lpad(h.cast("string"), 2, "0"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lpad(s.cast("string"), 2, "0"),
+    )
+    return F.when((t >= 0) & (t < 86400), out).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
 def redact_secret(col: Column, placeholder: str = "******") -> Column:
     """SecretStr-style masking (reference typic/types/secret.py:35-90:
     repr shows stars, .secret reveals). NULL stays NULL so nullability

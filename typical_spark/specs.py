@@ -238,7 +238,36 @@ STRING_FORMATS: dict[str, str] = {
     "uuid": r"(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$",
     "ipv4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$",
     "hostname": r"(?i)[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?(?:\.[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?)*$",
+    # DSN (reference typic/types/dsn.py:72-95): scheme://[user[:pass]@]
+    # host[:port][/db][?params] — fresh simplified pattern, same format.
+    "dsn": r"(?i)[a-z][a-z0-9+.-]*://(?:[^\s:@/]+(?::[^\s:@/]*)?@)?(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*|\[[0-9A-Fa-f:.]+\])(?::\d{1,5})?(?:/[^\s?#]*)?(?:\?\S*)?$",
 }
+
+
+def discover_tag(
+    cases: "dict[str, dict[str, object]]",
+) -> tuple[str, dict[object, str]]:
+    """Automatic tag discovery for tagged unions (A67, reference
+    typic/util.py:760-819 get_tag_for_types): given each union member's
+    literal field values ({member_name: {field: value, ...}}), find the
+    first common field whose value is a distinct hashable literal per
+    member. Returns (tag_column, {tag_value: member_name}); raises
+    ValueError when no field discriminates — the caller then must pass
+    TaggedCheck.tag_column explicitly (the reference falls back to
+    untagged try-each the same way)."""
+    if not cases:
+        raise ValueError("discover_tag needs at least one union member")
+    common = set.intersection(*[set(m.keys()) for m in cases.values()])
+    for field in sorted(common):
+        vals = {name: m[field] for name, m in cases.items()}
+        if all(
+            isinstance(v, (str, int, bool)) for v in vals.values()
+        ) and len(set(vals.values())) == len(vals):
+            return field, {v: name for name, v in vals.items()}
+    raise ValueError(
+        "no common field uniquely discriminates the union members; "
+        "set TaggedCheck.tag_column explicitly"
+    )
 
 
 @dataclass(frozen=True)
