@@ -4,6 +4,7 @@ and time-of-day coerce_from (A32/A33 deserialize halves), and automatic
 tag discovery (A67, util.py:760-819)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from typical_spark.compiler import compile_table_spec
 from typical_spark.specs import (
@@ -106,6 +107,28 @@ def test_degenerate_number_check_is_vacuous(spark):
     plan = _plan([FieldSpec("v", "long", checks=(NumberCheck(),))])
     df = spark.createDataFrame([(0, 1), (1, None)], "row_id int, v long")
     assert plan.violations(df, with_message=False).count() == 0
+
+
+def test_utf8_decode_coercion(spark):
+    """A35 bytes->str: valid UTF-8 decodes, invalid sequences coerce to
+    NULL (never mojibake, never a thrown job under ANSI)."""
+    plan = _plan([FieldSpec("b", "string", coerce_from="utf8")])
+    rows = [
+        (0, bytearray("héllo".encode("utf-8"))),
+        (1, bytearray(b"\xff\xfe\x00bad")),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "row_id int, b binary")
+    out = {r["row_id"]: r["b"] for r in plan.coerce(df).collect()}
+    assert out[0] == "héllo" and out[1] is None and out[2] is None
+    got = {(r["row_id"], r["check_id"])
+           for r in plan.violations(df, with_message=False).collect()}
+    assert got == {(1, "coerce")}
+
+    from typical_spark.functions.coerce import utf8_encode
+
+    back = df.where("row_id = 0").select(utf8_encode(F.lit("héllo")).alias("e"))
+    assert bytes(back.collect()[0]["e"]) == "héllo".encode("utf-8")
 
 
 def test_discover_tag():

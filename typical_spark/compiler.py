@@ -415,6 +415,8 @@ def _strategy_expr(how: str, src: Column, fs: FieldSpec) -> Column:
         return CK.time_of_day_seconds(src).try_cast(fs.dtype)
     if how == "map":  # A41 keyed mapping coercion
         return _map_coercion(src, fs.dtype)
+    if how == "utf8":  # A35 bytes -> str, invalid sequences -> NULL
+        return CK.utf8_decode(src)
     # default: plain cast attempt (reference des.py:353-368 builtin ctor)
     return src.try_cast(fs.dtype)
 

@@ -137,6 +137,21 @@ def time_of_day_seconds(col: Column) -> Column:
     return F.when(ok, total).otherwise(F.lit(None).cast("double"))
 
 
+# bytes -> str (A35 deserialize, reference des.py text des:
+# bytes.decode('utf-8')): invalid UTF-8 byte sequences coerce to NULL
+# (transmute-failure semantics) instead of mojibake or a thrown job —
+# is_valid_utf8 gates the decode so this is safe under ANSI.
+def utf8_decode(col: Column) -> Column:
+    return F.when(F.is_valid_utf8(col), F.decode(col, "UTF-8")).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+# str -> bytes (A35 serialize twin; str.encode('utf-8'))
+def utf8_encode(col: Column) -> Column:
+    return F.encode(col.cast("string"), "UTF-8")
+
+
 _UUID_RE = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
 
 
