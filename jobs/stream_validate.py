@@ -29,7 +29,9 @@ def main(argv=None) -> int:
                     help="process available data then stop (availableNow)")
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("typical-spark-stream").getOrCreate()
+    spark = SparkSession.builder.appName("typical-spark-stream")\
+        .config("spark.sql.ansi.enabled", "false")\
+        .getOrCreate()  # throughput knob only; engine is ANSI-safe (test_ansi_modes)
 
     from typical_spark.compiler import compile_table_spec
     from typical_spark.schema import spec_to_structtype

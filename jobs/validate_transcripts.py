@@ -36,7 +36,9 @@ def main(argv=None) -> int:
                     help="per-bucket checkpointed mode (resumable)")
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("typical-spark-validate").getOrCreate()
+    spark = SparkSession.builder.appName("typical-spark-validate")\
+        .config("spark.sql.ansi.enabled", "false")\
+        .getOrCreate()  # throughput knob only; engine is ANSI-safe (test_ansi_modes)
 
     from typical_spark.checkpoint import CheckpointedRun
     from typical_spark.compiler import compile_table_spec

@@ -90,3 +90,41 @@ def test_transcript_violations_plan_shape(spark, transcripts_df):
     # one fused projection: no joins, no aggregates, no shuffles
     for op in ("Exchange", "SortMergeJoin", "HashAggregate"):
         assert op not in p, f"unexpected {op} in fused pass:\n{p[:2000]}"
+
+
+def test_lsh_banding_shuffle_is_narrow(spark):
+    """The banding self-join exchanges must NOT carry wide payloads:
+    no shingle array in the minhash banding exchange, no embedding
+    vector in the hyperplane bucket exchange (vectors/shingles join
+    back only for candidate verify)."""
+    from typical_spark.operators.dedup import minhash_near_duplicates
+    from typical_spark.operators.similarity import embedding_near_duplicates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan_str(minhash_near_duplicates(docs, "doc_id", "text"))
+    # exchanges that partition by the banding key must be signature-only
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line and "bhash" in line:
+            assert "_sh" not in line, f"wide shingle payload in banding shuffle: {line}"
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pe = _plan_str(
+        embedding_near_duplicates(emb, n_planes=4, n_tables=2)
+    )
+    for line in pe.splitlines():
+        if "Exchange hashpartitioning" in line and "bkey" in line:
+            assert "_v" not in line, f"vector payload in bucket shuffle: {line}"
+
+
+def test_minhash_signature_agg_is_codegen(spark):
+    """The 64 min() aggregates must sit inside whole-stage codegen with a
+    map-side partial (two HashAggregate nodes around the exchange)."""
+    from typical_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan_str(minhash_near_duplicates(docs, "doc_id", "text"))
+    # partial + final HashAggregate around the signature exchange (the
+    # AQE-wrapped formatted plan carries no `codegen id` markers, so we
+    # pin the map-side combine via the aggregate pair instead)
+    assert p.count("HashAggregate") >= 2
+    assert "SortAggregate" not in p and "ObjectHashAggregate" not in p

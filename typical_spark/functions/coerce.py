@@ -97,10 +97,14 @@ def iso_duration_seconds(col: Column) -> Column:
     sign = F.when(s.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
     b = F.regexp_replace(s, "^-", "")
     # at least one component must be present (bare "P"/"PT" is invalid)
-    has_component = b.rlike(r"\d")
-    ok = b.rlike(_ISO_DUR_RE) & has_component
-    part = lambda g: F.coalesce(  # noqa: E731
-        F.regexp_extract(b, _ISO_DUR_RE, g).try_cast("double"), F.lit(0.0)
+    ok = b.rlike(_ISO_DUR_RE) & b.rlike(r"\d")
+    # ONE capture pass: rewrite the (anchored, so single) match to
+    # "D,H,M,S" and split — 2 regex evaluations per row instead of the 5
+    # that one rlike + four regexp_extract(group=i) calls would cost
+    # (Catalyst does not share regex work across expressions).
+    packed = F.split(F.regexp_replace(b, _ISO_DUR_RE, "$1,$2,$3,$4"), ",")
+    part = lambda i: F.coalesce(  # noqa: E731
+        F.element_at(packed, i).try_cast("double"), F.lit(0.0)
     )
     total = (
         part(1) * 86400.0 + part(2) * 3600.0 + part(3) * 60.0 + part(4)
@@ -126,14 +130,13 @@ _TIME_RE = r"^([01][0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9])(\.\d{1,6})?$"
 def time_of_day_seconds(col: Column) -> Column:
     s = F.trim(col.cast("string"))
     ok = s.rlike(_TIME_RE)
-    g = lambda i: F.regexp_extract(s, _TIME_RE, i)  # noqa: E731
-    frac = F.coalesce(g(4).try_cast("double"), F.lit(0.0))
-    total = (
-        g(1).try_cast("double") * 3600.0
-        + g(2).try_cast("double") * 60.0
-        + g(3).try_cast("double")
-        + frac
+    # same 2-regex-pass trick as iso_duration_seconds ($4 keeps its
+    # leading '.', which try_cast('.5') reads as 0.5)
+    packed = F.split(F.regexp_replace(s, _TIME_RE, "$1,$2,$3,$4"), ",")
+    g = lambda i: F.coalesce(  # noqa: E731
+        F.element_at(packed, i).try_cast("double"), F.lit(0.0)
     )
+    total = g(1) * 3600.0 + g(2) * 60.0 + g(3) + g(4)
     return F.when(ok, total).otherwise(F.lit(None).cast("double"))
 
 
