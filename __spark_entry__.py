@@ -281,9 +281,13 @@ def q_embeddings_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb"),
     )
     corpus = emb.unionByName(pert)
+    # 16-bit bucket keys x 12 tables: with the Arrow matmul the extra
+    # projections are ~free, random-pair bucket collisions drop ~2^8x
+    # (the exact-cosine verify was the cost center at 8-bit keys), and
+    # planted-pair recall stays >= 1 - 2e-8 at cosine ~0.9988.
     out = embedding_near_duplicates(
         corpus, id_col="vec_id", vec_col="emb",
-        n_planes=8, n_tables=8, cosine_threshold=0.99,
+        n_planes=16, n_tables=12, cosine_threshold=0.99,
     )
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cos_r"))
 
@@ -433,6 +437,35 @@ def q_events_props_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_documents_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep-first survivor set over the minhash near-dup pairs:
+    every doc that pairs with a smaller id is dropped. Oracle: same
+    exact all-pairs Jaccard pair set, NOT IN on the dominated side."""
+    from typical_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dup_survivors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.8)
+    return near_dup_survivors(docs, "doc_id", pairs).select("doc_id")
+
+
+def q_documents_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (iterative
+    min-label propagation — a genuinely non-single-pass-SQL operator).
+    Oracle: recursive-CTE transitive closure in DuckDB over the same
+    exact pair set."""
+    from typical_spark.operators.dedup import (
+        dedup_groups_connected,
+        minhash_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.8)
+    return dedup_groups_connected(pairs)
+
+
 def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-duration + time-of-day round trip at the gate (A32/A33
     deserialize halves): serialize a per-event seconds value to ISO-8601
@@ -495,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_verdicts": q_orders_verdicts,
         "events_props_coerce": q_events_props_coerce,
         "events_durations": q_events_durations,
+        "documents_dedup_survivors": q_documents_dedup_survivors,
+        "documents_dup_groups": q_documents_dup_groups,
     }
 
 
@@ -552,6 +587,45 @@ _ORDERS_VIOLATIONS_SQL = _violations_oracle([
        FROM orders WHERE o_orderpriority IS NOT NULL
          AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')""",
 ])
+
+
+# Shared DuckDB twin of the minhash near-dup pair set (keep-first exact
+# collapse + exact all-pairs Jaccard among representatives); reused by the
+# pair, survivor, and connected-components oracles so all three verify
+# against the SAME ground-truth pair graph.
+_MINHASH_PAIR_CTES = """
+            norm AS (
+                SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+                FROM documents WHERE text IS NOT NULL
+            ),
+            hk AS (SELECT doc_id, md5(n) AS h, n FROM norm),
+            grp AS (SELECT h, min(doc_id) AS rep FROM hk GROUP BY 1),
+            star AS (
+                SELECT g.rep AS id_a, k.doc_id AS id_b,
+                       CAST(1.0 AS DOUBLE) AS jaccard_r
+                FROM hk k JOIN grp g USING (h) WHERE k.doc_id <> g.rep
+            ),
+            reps AS (SELECT k.doc_id, k.n FROM hk k JOIN grp g ON k.doc_id = g.rep),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, string_split(n, ' ') AS w FROM reps)
+            ),
+            jpairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ),
+            allpairs AS (
+                SELECT id_a, id_b, round(j, 4) AS jaccard_r
+                FROM jpairs WHERE j >= 0.8
+                UNION ALL
+                SELECT id_a, id_b, jaccard_r FROM star
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -684,40 +758,38 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(coalesce(n_tokens, 0), 1), 4) AS mtl_r
             FROM s
         """,
-        "documents_minhash_pairs": """
-            -- exact twin of the engine's minhash-LSH + keep-first collapse:
-            -- identical-normalized-text groups emit (rep, member, 1.0) star
-            -- pairs; representatives pair by EXACT all-pairs Jaccard over the
-            -- same distinct 3-word shingles (LSH banding + verify is exact up
-            -- to >0.999 recall at the 0.8 threshold).
-            WITH norm AS (
-                SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
-                FROM documents WHERE text IS NOT NULL
+        # exact twin of the engine's minhash-LSH + keep-first collapse:
+        # identical-normalized-text groups emit (rep, member, 1.0) star
+        # pairs; representatives pair by EXACT all-pairs Jaccard over the
+        # same distinct 3-word shingles (LSH banding + verify is exact up
+        # to >0.999 recall at the 0.8 threshold).
+        "documents_minhash_pairs": f"""
+            WITH {_MINHASH_PAIR_CTES}
+            SELECT id_a, id_b, jaccard_r FROM allpairs
+        """,
+        "documents_dedup_survivors": f"""
+            -- greedy keep-first: a doc survives iff it is never the
+            -- dominated (larger-id) side of a near-dup pair
+            WITH {_MINHASH_PAIR_CTES}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM allpairs)
+        """,
+        "documents_dup_groups": f"""
+            -- transitive closure over the same pair graph: group_id =
+            -- min doc_id of each connected component
+            WITH RECURSIVE {_MINHASH_PAIR_CTES},
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM allpairs
+                UNION
+                SELECT id_b, id_a FROM allpairs
             ),
-            hk AS (SELECT doc_id, md5(n) AS h, n FROM norm),
-            grp AS (SELECT h, min(doc_id) AS rep FROM hk GROUP BY 1),
-            star AS (
-                SELECT g.rep AS id_a, k.doc_id AS id_b,
-                       CAST(1.0 AS DOUBLE) AS jaccard_r
-                FROM hk k JOIN grp g USING (h) WHERE k.doc_id <> g.rep
-            ),
-            reps AS (SELECT k.doc_id, k.n FROM hk k JOIN grp g ON k.doc_id = g.rep),
-            sh AS (
-                SELECT doc_id, list_distinct(list_transform(
-                    range(1, greatest(len(w) - 2, 1) + 1),
-                    i -> array_to_string(w[i:i+2], ' '))) AS s
-                FROM (SELECT doc_id, string_split(n, ' ') AS w FROM reps)
-            ),
-            pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
             )
-            SELECT id_a, id_b, round(j, 4) AS jaccard_r FROM pairs WHERE j >= 0.8
-            UNION ALL
-            SELECT id_a, id_b, jaccard_r FROM star
+            SELECT src AS doc_id, least(src, min(dst)) AS group_id
+            FROM reach GROUP BY src
         """,
         "documents_simhash_pairs": """
             -- full simhash recomputation: md5_number_lower is bit-identical

@@ -166,6 +166,30 @@ def test_exact_group_collapse_linear_pairs(spark):
     assert all(r["hamming"] == 0 for r in sh_rows)
 
 
+def test_near_dup_survivors(spark, docs_df):
+    from typical_spark.operators.dedup import near_dup_survivors
+
+    pairs = minhash_near_duplicates(
+        docs_df, "doc_id", "text", jaccard_threshold=0.5
+    )
+    surv = {r["doc_id"] for r in near_dup_survivors(docs_df, "doc_id", pairs)
+            .select("doc_id").collect()}
+    # 1, 2 (exact dups of 0) and 3 (near dup of 0) are dominated; the
+    # unrelated docs and the group representative survive
+    assert surv == {0, 4, 5}
+
+
+def test_dedup_groups_connected(spark):
+    from typical_spark.operators.dedup import dedup_groups_connected
+
+    # a 6-node chain (forces several propagation rounds) + an isolated pair
+    chain = [(i, i + 1) for i in range(1, 6)]
+    pairs = spark.createDataFrame(chain + [(10, 11)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup_groups_connected(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
 def test_md5_lower64_matches_duckdb(spark):
     import duckdb
 

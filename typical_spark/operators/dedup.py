@@ -425,6 +425,69 @@ def simhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# corpus-level dedup decisions on top of the pair detectors
+# ---------------------------------------------------------------------------
+
+
+def near_dup_survivors(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Greedy keep-first survivor set: drop every document that near-dup
+    pairs with ANY smaller id (pairs are canonical id_a < id_b, so the
+    dominated side is always id_b) — the reference's array-dedup
+    keep-first contract (typic/constraints/array.py:30-87) lifted to
+    corpus level. One-step dominance, not transitive closure (see
+    dedup_groups_connected for closure): the standard greedy rule, one
+    distinct + one anti-join, both broadcast-able when the dup set is
+    small relative to the corpus."""
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+def dedup_groups_connected(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components over the near-dup pair graph: (doc_id,
+    group_id) for every id appearing in `pairs`, group_id = min id of the
+    component. Iterative min-label propagation: each round every node
+    takes the min of its own label and its neighbors' labels (one join +
+    one groupBy shuffle per round); converges in O(graph diameter)
+    rounds — near-dup components are dense and shallow, so single-digit
+    rounds in practice. Lineage is cut per round with localCheckpoint so
+    the plan stays bounded regardless of iteration count (the standard
+    Spark iterative-algorithm pattern). Genuinely non-SQL-expressible
+    one-pass; the DuckDB oracle uses a recursive CTE instead."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(edges["src"].alias("id"), F.col("label"))
+        )
+        new_labels = (
+            nbr.unionAll(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+# ---------------------------------------------------------------------------
 # n-gram jaccard (exact verify kernel)
 # ---------------------------------------------------------------------------
 
