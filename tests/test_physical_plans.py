@@ -128,3 +128,26 @@ def test_minhash_signature_agg_is_codegen(spark):
     # pin the map-side combine via the aggregate pair instead)
     assert p.count("HashAggregate") >= 2
     assert "SortAggregate" not in p and "ObjectHashAggregate" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the join key must SortMergeJoin without any
+    Exchange — the co-located-join storage contract (Iceberg bucket(N)
+    analog) that makes per-conv operators shuffle-free at scale."""
+    from typical_spark.sources.tables import read_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS vb")
+        write_bucketed(a, "bk_a", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(b, "bk_b", ["k"], n_buckets=8, sort_cols=["k"])
+        j = read_bucketed(spark, "bk_a").join(read_bucketed(spark, "bk_b"), "k")
+        p = _plan_str(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join must not shuffle"
+        assert j.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

@@ -8,9 +8,11 @@ integrity all emit into ONE violations stream with a common schema
 
 so a run is a small, fixed number of Spark jobs regardless of how many
 checks are configured — crucial at scale, where each extra action is an
-extra full scan. The row-level pass is scan-local; uniqueness + ordering
-share the conv-shuffle; referential is a broadcast anti-join (zero
-shuffle of the fact table).
+extra full scan. The row-level pass is scan-local; uniqueness shuffles
+only the narrow key columns (groupBy prefilter with map-side combine,
+then windows over just the duplicate candidates); ordering shuffles the
+conv-keyed columns once for its window; referential is a broadcast
+anti-join (zero shuffle of the fact table).
 """
 
 from __future__ import annotations

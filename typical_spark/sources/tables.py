@@ -42,3 +42,36 @@ def write_output(df: DataFrame, target: str, mode: str = "append") -> None:
         w.append() if mode == "append" else w.createOrReplace()
     else:
         df.write.mode("append" if mode == "append" else "overwrite").parquet(target)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by its join/
+    window keys — the storage-side half of shuffle elimination: two
+    tables bucketed by the same keys into the same bucket count join with
+    ZERO Exchange (SortMergeJoin reads co-located buckets directly), and
+    window/groupBy over the bucket keys skips its shuffle too. This is
+    the parquet/warehouse analog of Iceberg's `bucket(N, col)` partition
+    transform named in the deployment plan; at 10^12 turns, bucketing
+    transcripts AND conversations by conv_id turns every per-conv
+    operator from a shuffle into a local sort.
+
+    Uses saveAsTable (bucket metadata lives in the session catalog/
+    warehouse — plain .parquet(path) cannot record bucketing)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a write_bucketed table WITH its bucket metadata (only the
+    catalog path preserves it; reading the files directly would lose the
+    co-location guarantee and reintroduce the shuffle)."""
+    return spark.table(table)
