@@ -151,3 +151,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_bucketed_window_has_no_exchange(spark, transcripts_df):
+    """A per-conversation window over a conv_id-bucketed table must run
+    scan -> sort -> window with ZERO Exchange: at 10^12 turns this is the
+    difference between a local sort and re-shuffling the corpus for
+    every per-conv check."""
+    from typical_spark.operators.ordering import ordering_violations
+    from typical_spark.sources.tables import read_bucketed, write_bucketed
+
+    try:
+        write_bucketed(
+            transcripts_df, "bk_transcripts", ["conv_id"],
+            n_buckets=8, sort_cols=["conv_id", "turn_idx"],
+        )
+        t = read_bucketed(spark, "bk_transcripts")
+        out = ordering_violations(
+            t.where("conv_id is not null"), ["conv_id"], "turn_idx", ts_col="ts"
+        )
+        p = _plan_str(out)
+        assert "Exchange" not in p, "bucketed window must not shuffle"
+        assert "Bucketed: true" in p
+        out.count()  # executes
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_transcripts")
