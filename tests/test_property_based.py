@@ -138,3 +138,78 @@ def test_enum_checks_match_interpreter(spark, chk, values):
     got = run_plan(spark, "string", [chk], values)
     for i, v in enumerate(values):
         assert got.get(i, set()) == interpret([chk], v), (v, chk)
+
+
+# -- duration / time parse kernels: round-trip + reject properties --------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4000),   # days
+            st.integers(0, 23), st.integers(0, 59), st.integers(0, 59),
+            st.booleans(),          # negative
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_duration_roundtrip_property(spark, batches):
+    """serialize(total_seconds) |> parse == total_seconds, for any
+    d/h/m/s composition and sign (one Spark job per example batch)."""
+    from typical_spark.functions.coerce import iso_duration_seconds
+    from typical_spark.serde import iso_duration_from_seconds
+
+    totals = [
+        (-1 if neg else 1) * (d * 86400 + h * 3600 + m * 60 + s)
+        for d, h, m, s, neg in batches
+    ]
+    df = spark.createDataFrame([(t,) for t in totals], "secs long")
+    out = df.select(
+        "secs",
+        iso_duration_seconds(iso_duration_from_seconds(F.col("secs"))).alias("back"),
+    ).collect()
+    for row in out:
+        assert row["back"] == float(row["secs"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="PTDHMS0123456789.:- dhmsx",
+            min_size=0, max_size=18,
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_duration_parse_never_throws_and_rejects_garbage(spark, raws):
+    """The strict grammar must parse-or-NULL any input without throwing
+    (ANSI session included), and must never return a value for strings
+    that a reference Python parser rejects."""
+    import re as _re
+
+    from typical_spark.functions.coerce import iso_duration_seconds
+
+    pat = _re.compile(
+        r"^-?P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$",
+        _re.IGNORECASE,
+    )
+
+    def ref(s):
+        if s is None:
+            return None
+        t = s.strip().upper()
+        m = pat.match(t)
+        if not m or not any(ch.isdigit() for ch in t):
+            return None
+        d, h, mi, se = (float(g) if g else 0.0 for g in m.groups())
+        sign = -1.0 if t.startswith("-") else 1.0
+        return sign * (d * 86400 + h * 3600 + mi * 60 + se)
+
+    df = spark.createDataFrame([(r,) for r in raws], "s string")
+    got = [
+        r["v"]
+        for r in df.select(iso_duration_seconds(F.col("s")).alias("v")).collect()
+    ]
+    assert got == [ref(r) for r in raws]

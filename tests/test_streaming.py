@@ -115,3 +115,38 @@ def test_foreach_batch_reuses_batch_operators(spark, stream_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     assert len(results) >= 1 and sum(results) > 0
+
+
+def test_streaming_dedup_keep_first(spark, tmp_path):
+    """Streaming exact dedup with watermark-bounded state: within the
+    watermark horizon only a key's first arrival survives."""
+    import datetime as dt
+
+    from typical_spark.streaming.validate_stream import streaming_dedup_keep_first
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = []
+    for k in range(200):
+        for j in range(1 + (k % 3)):  # keys have 1-3 occurrences
+            rows.append((f"c{k:04d}", k, f"copy{j}", t0 + dt.timedelta(minutes=j)))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = streaming_dedup_keep_first(stream, ["conv_id", "turn_idx"], "ts",
+                                     watermark="2 hours")
+    sink = str(tmp_path / "dedup_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.read.parquet(sink)
+    assert got.count() == 200  # one survivor per key
+    assert got.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0

@@ -82,3 +82,20 @@ def streaming_verdicts(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup_keep_first(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup, keep-first-arrival: dropDuplicatesWithinWatermark
+    bounds the dedup state to the watermark horizon (unbounded-state
+    dropDuplicates is a slow memory leak on an infinite stream — state
+    for a key can never be evicted without an event-time bound). The
+    streaming analog of dedup_keep_first / the reference array-unique
+    contract: within any `watermark` window, only a key's first arrival
+    survives. Late rows beyond the watermark are dropped by the engine
+    (the standard lateness trade: bounded state for bounded lookback)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
