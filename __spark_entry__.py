@@ -466,6 +466,17 @@ def q_documents_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups_connected(pairs)
 
 
+def q_documents_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash-bucket membership,
+    stable under corpus growth and cluster layout). Oracle recomputes the
+    identical md5-derived bucket in DuckDB — the auditability property
+    the operator exists for."""
+    from typical_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
 def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-duration + time-of-day round trip at the gate (A32/A33
     deserialize halves): serialize a per-event seconds value to ISO-8601
@@ -530,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_durations": q_events_durations,
         "documents_dedup_survivors": q_documents_dedup_survivors,
         "documents_dup_groups": q_documents_dup_groups,
+        "documents_split": q_documents_split,
     }
 
 
@@ -587,6 +599,29 @@ _ORDERS_VIOLATIONS_SQL = _violations_oracle([
        FROM orders WHERE o_orderpriority IS NOT NULL
          AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')""",
 ])
+
+
+def _documents_split_oracle() -> str:
+    """Built from the SAME split_cutoffs the operator uses, so the
+    integer boundaries cannot drift between engine and oracle.
+    md5_number_lower & (2^k - 1) equals the engine's signed
+    md5_lower64 & mask (identical low bits of the same 64-bit value)."""
+    from typical_spark.operators.sampling import split_cutoffs
+
+    cuts = split_cutoffs(
+        [("train", 0.98), ("val", 0.01), ("test", 0.01)], 8192
+    )
+    whens = " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'" for name, lo, hi in cuts
+    )
+    return f"""
+        SELECT doc_id, CASE {whens} END AS split
+        FROM (
+            SELECT doc_id,
+                   md5_number_lower(CAST(doc_id AS VARCHAR) || ':42') & 8191 AS b
+            FROM documents
+        )
+    """
 
 
 # Shared DuckDB twin of the minhash near-dup pair set (keep-first exact
@@ -973,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
                        FALSE) AS negative_k
             FROM j
         """,
+        "documents_split": _documents_split_oracle(),
         "events_durations": """
             -- known-answer oracle for the ISO-duration/time round trip:
             -- the strict grammar must recover the exact source seconds,

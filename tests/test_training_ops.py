@@ -345,3 +345,40 @@ def test_multimodal_feature_extraction_stub(spark):
     # the real decoder hook is an explicit NotImplementedError stub
     with pytest.raises(Exception, match="media decode requires"):
         extract_features(df, decoder=real_decode_stub).collect()
+
+
+def test_hash_split_stability_and_weights(spark):
+    from typical_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(20000)], "doc_id long")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert s1 == s2  # deterministic
+    # growth stability: a subset keeps its assignments
+    sub = {r["doc_id"]: r["split"]
+           for r in hash_split(df.where("doc_id < 5000"), "doc_id").collect()}
+    assert all(s1[k] == v for k, v in sub.items())
+    # weights land near the targets
+    from collections import Counter
+    c = Counter(s1.values())
+    assert abs(c["train"] / 20000 - 0.98) < 0.01
+    assert abs(c["val"] / 20000 - 0.01) < 0.005
+    assert abs(c["test"] / 20000 - 0.01) < 0.005
+    assert set(c) == {"train", "val", "test"}
+    # sample fraction lands near target and is a deterministic subset
+    samp = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1).collect()}
+    assert abs(len(samp) / 20000 - 0.1) < 0.01
+    samp2 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1).collect()}
+    assert samp == samp2
+
+
+def test_hash_split_rejects_bad_args(spark):
+    from typical_spark.operators.sampling import hash_bucket, hash_split
+
+    import pyspark.sql.functions as F  # noqa
+
+    with pytest.raises(ValueError, match="power of two"):
+        hash_bucket(F.col("x"), n_buckets=1000)
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", splits=(("a", 0.5), ("b", 0.2)))

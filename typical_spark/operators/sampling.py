@@ -1,0 +1,91 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Random `df.sample()` is useless for corpus curation at scale: it changes
+under retries, partition layout, and Spark versions, so eval sets leak.
+These operators derive membership from a HASH of the row's id — stable
+across runs, engines, cluster sizes, and insert order, and exactly
+reproducible outside Spark (the md5-derived hash equals DuckDB's
+md5_number_lower, see dedup.md5_lower64), so held-out splits can be
+audited by any SQL engine.
+
+n_buckets must be a power of two: bucket = hash & (n_buckets-1) picks
+the low bits, which are identical for the signed (Spark long) and
+unsigned (DuckDB UBIGINT) views of the same 64-bit value — a modulo by a
+non-power-of-two would NOT agree across the two representations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from typical_spark.operators.dedup import md5_lower64
+
+
+def hash_bucket(
+    id_col: Column, seed: int = 42, n_buckets: int = 8192
+) -> Column:
+    """Stable bucket in [0, n_buckets) from the id (power-of-two buckets
+    only — see module docstring)."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    h = md5_lower64(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+    return h.bitwiseAND(F.lit(n_buckets - 1))
+
+
+def split_cutoffs(
+    splits: Sequence[tuple[str, float]], n_buckets: int
+) -> list[tuple[str, int, int]]:
+    """(name, lo, hi) bucket ranges for the requested weights; weights
+    must sum to ~1. Exposed so oracles/audits can recompute the exact
+    integer boundaries."""
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    out, cum = [], 0.0
+    lo = 0
+    for name, w in splits:
+        cum += w
+        hi = n_buckets if cum >= 1.0 - 1e-12 else int(round(cum * n_buckets))
+        out.append((name, lo, hi))
+        lo = hi
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.98), ("val", 0.01), ("test", 0.01),
+    ),
+    seed: int = 42,
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Assign every row a deterministic split label. Pure projection —
+    no shuffle, no state; re-running on a grown corpus keeps every
+    previously-assigned row in its split (membership depends only on
+    the id), which is the property that prevents train/test leaks as a
+    crawl grows."""
+    b = hash_bucket(F.col(id_col), seed, n_buckets)
+    expr = None
+    for name, lo, hi in split_cutoffs(list(splits), n_buckets):
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 42,
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Deterministic ~fraction sample (same stability contract as
+    hash_split): keeps rows whose bucket < fraction*n_buckets."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    cut = int(round(fraction * n_buckets))
+    return df.where(hash_bucket(F.col(id_col), seed, n_buckets) < cut)
