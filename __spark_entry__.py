@@ -477,6 +477,71 @@ def q_documents_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_documents_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitious-text signals (C4/Gopher-style loop filters): total
+    3-grams and the duplicate-3-gram ratio per document."""
+    from typical_spark.functions.text_analysis import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = repetition_signals(F.col("text"))
+    isnull = F.col("text").isNull()
+    return docs.select(
+        "doc_id",
+        F.when(isnull, F.lit(None).cast("int")).otherwise(s["n_ngrams"]).alias("n_ngrams"),
+        F.when(isnull, F.lit(None).cast("double"))
+        .otherwise(F.round(s["dup_ngram_ratio"], 4)).alias("dup_r"),
+    )
+
+
+def q_documents_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing at the gate: the fixture has no PII, so the query
+    plants a deterministic footer (email, IP, phone derived from doc_id)
+    on each document — reproducible in SQL — then counts and redacts.
+    The md5 of the redacted text makes the oracle byte-exact."""
+    from typical_spark.functions.text_analysis import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    )
+    c = pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["ipv4"].alias("n_ipv4"),
+        c["phone"].alias("n_phone"),
+        F.md5(redact_pii(planted)).alias("redacted_md5"),
+    )
+
+
+def q_documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 8 distinct
+    3-grams with a 'benchmark' set (here: the first 12 normalized words
+    of every 20th document — every benchmark doc therefore contaminates
+    at least its own source). Corpus scanned once; benchmark shingles
+    broadcast."""
+    from typical_spark.functions.text_analysis import normalize_text
+    from typical_spark.operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 12)
+        ).alias("bench_text"),
+    )
+    return ngram_contamination(
+        docs, bench, "doc_id", "text", "bench_id", "bench_text",
+        k=3, min_overlap=8,
+    )
+
+
 def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-duration + time-of-day round trip at the gate (A32/A33
     deserialize halves): serialize a per-event seconds value to ISO-8601
@@ -542,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_dedup_survivors": q_documents_dedup_survivors,
         "documents_dup_groups": q_documents_dup_groups,
         "documents_split": q_documents_split,
+        "documents_repetition": q_documents_repetition,
+        "documents_pii": q_documents_pii,
+        "documents_contamination": q_documents_contamination,
     }
 
 
@@ -621,6 +689,30 @@ def _documents_split_oracle() -> str:
                    md5_number_lower(CAST(doc_id AS VARCHAR) || ':42') & 8191 AS b
             FROM documents
         )
+    """
+
+
+def _documents_pii_oracle() -> str:
+    """Built from the SAME PII_PATTERNS the engine redacts with (the
+    patterns are deliberately valid in both Java regex and RE2), over the
+    same planted footer, so counts and the redacted-text md5 must match
+    byte-for-byte."""
+    from typical_spark.functions.text_analysis import PII_PATTERNS
+
+    planted = (
+        "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' end'"
+    )
+    red = "t"
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(f"len(regexp_extract_all(t, '{pat}')) AS n_{name}")
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+        SELECT doc_id, {', '.join(counts)}, md5({red}) AS redacted_md5
+        FROM (SELECT doc_id, {planted} AS t FROM documents)
     """
 
 
@@ -1009,6 +1101,52 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "documents_split": _documents_split_oracle(),
+        "documents_repetition": """
+            WITH g AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE list_transform(
+                                range(1, greatest(len(w) - 2, 1) + 1),
+                                i -> array_to_string(w[i:i+2], ' ')) END AS grams
+                FROM (
+                    SELECT doc_id, text,
+                           string_split(trim(regexp_replace(regexp_replace(
+                               lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g')), ' ') AS w
+                    FROM documents
+                )
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS INT) AS n_ngrams,
+                   round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                         / GREATEST(len(grams), 1), 4) AS dup_r
+            FROM g
+        """,
+        "documents_pii": _documents_pii_oracle(),
+        "documents_contamination": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE text IS NOT NULL
+            ),
+            dsh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' ')))) AS g
+                FROM words
+            ),
+            bsh AS (
+                SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(w[1:12]) - 2, 1) + 1),
+                    i -> array_to_string(w[1:12][i:i+2], ' ')))) AS g
+                FROM words WHERE doc_id % 20 = 0
+            )
+            SELECT d.doc_id, b.bench_id, count(*) AS n_overlap
+            FROM dsh d JOIN bsh b USING (g)
+            GROUP BY 1, 2 HAVING count(*) >= 8
+        """,
         "events_durations": """
             -- known-answer oracle for the ISO-duration/time round trip:
             -- the strict grammar must recover the exact source seconds,

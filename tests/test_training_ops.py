@@ -382,3 +382,55 @@ def test_hash_split_rejects_bad_args(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "doc_id", splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_repetition_signals(spark):
+    from typical_spark.functions.text_analysis import repetition_signals
+
+    rows = [
+        ("buy now buy now buy now buy now",),   # looping spam
+        ("each word here appears only one time total",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    s = repetition_signals(F.col("t"))
+    got = df.select(
+        s["dup_ngram_ratio"].alias("dup"),
+        s["top_word_ratio"].alias("top"),
+    ).collect()
+    assert got[0]["dup"] > 0.5 and got[1]["dup"] == 0.0
+    assert got[0]["top"] == 0.5  # 'buy' is 4 of 8 tokens
+    assert got[1]["top"] < 0.2
+
+
+def test_redact_pii(spark):
+    from typical_spark.functions.text_analysis import pii_counts, redact_pii
+
+    t = "mail a.b@x.co or b@y.org, ip 10.0.0.7, call 555-123-0042 now"
+    df = spark.createDataFrame([(t,)], "t string")
+    c = pii_counts(F.col("t"))
+    row = df.select(
+        c["email"].alias("e"), c["ipv4"].alias("i"), c["phone"].alias("p"),
+        redact_pii(F.col("t")).alias("r"),
+    ).collect()[0]
+    assert (row["e"], row["i"], row["p"]) == (2, 1, 1)
+    assert row["r"] == (
+        "mail <EMAIL> or <EMAIL>, ip <IPV4>, call <PHONE> now"
+    )
+
+
+def test_ngram_contamination(spark, docs_df):
+    from typical_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "spark is a distributed engine for large scale data processing")],
+        "bench_id long, bench_text string",
+    )
+    out = ngram_contamination(
+        docs_df, bench, "doc_id", "text", "bench_id", "bench_text",
+        k=3, min_overlap=5,
+    ).collect()
+    hit = {(r["doc_id"], r["bench_id"]) for r in out}
+    # docs 0,1,2 contain the benchmark sentence verbatim (8 shared 3-grams)
+    assert {(0, 100), (1, 100), (2, 100)} <= hit
+    assert not any(d in (4, 5) for d, _ in hit)

@@ -186,3 +186,76 @@ def doc_fingerprint(col: Column, k: int = 5) -> Column:
     up to normalization; rolling-hash analog done set-wise)."""
     sh = char_shingles(col, k)
     return F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (C4/Gopher-style repetitious-text filters)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_from(words: Column, n: int = 3) -> Column:
+    """n-gram MULTISET of an already-split words array (duplicates kept —
+    the repetition signal lives in the duplicates; `word_shingles_from`
+    is the distinct variant used for Jaccard)."""
+    size = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+
+
+def repetition_signals(col: Column, n: int = 3) -> dict[str, Column]:
+    """Repetitious-text measures over the normalized token stream:
+    dup_ngram_ratio = 1 - distinct/total n-grams (0 = all fresh, ->1 =
+    loops of boilerplate), top_word_ratio = frequency of the most common
+    token. Pure Catalyst expressions; the standard filters that drop
+    looping/spammy documents from training corpora."""
+    words = split_normalized(col)
+    grams = _bind(words, lambda w: word_ngrams_from(w, n))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    counts = _bind(
+        words,
+        lambda w: F.transform(
+            F.array_distinct(w),
+            lambda u: F.size(F.filter(w, lambda x: x == u)),
+        ),
+    )
+    top_ratio = (
+        F.array_max(counts) / F.greatest(F.size(words), F.lit(1))
+    ).cast("double")
+    return {
+        "n_ngrams": n_grams,
+        "dup_ngram_ratio": (
+            (n_grams - n_distinct) / F.greatest(n_grams, F.lit(1))
+        ).cast("double"),
+        "top_word_ratio": top_ratio,
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-corpus scrubbing)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB
+# oracle): no lookarounds, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    return {
+        name: F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(0))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder (<EMAIL> etc.).
+    Order matters: emails first, so user@host never half-matches as a
+    hostname-ish IP later."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

@@ -487,6 +487,40 @@ def dedup_groups_connected(pairs: DataFrame, max_iterations: int = 25) -> DataFr
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, n_overlap) for every
+    corpus document sharing >= min_overlap distinct word-k-grams with a
+    benchmark document. The benchmark side is tiny by definition (eval
+    sets vs a crawl), so its exploded shingles BROADCAST: the corpus is
+    scanned once, shingled map-side, and hash-joined locally — no shuffle
+    of the corpus, the only shape that works when docs is 100 TB.
+    Output feeds the standard policy: drop/flag documents contaminated
+    with eval data before training."""
+    dsh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_g"),
+    )
+    bsh = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(bench_text_col), k)).alias("_g"),
+    )
+    return (
+        dsh.join(F.broadcast(bsh), "_g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram jaccard (exact verify kernel)
 # ---------------------------------------------------------------------------
