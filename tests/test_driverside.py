@@ -87,3 +87,25 @@ def test_load_env_settings(spark):
     assert got["started"].year == 2020
     with pytest.raises(TransmuteError, match="not_null"):
         load_env_settings(SPEC, prefix="APP_", environ={}, spark=spark)
+
+
+def test_from_rows_map_and_utf8_sources(spark):
+    """Strategy-typed inputs: 'map' coercion takes a real mapping and
+    'utf8' takes bytes (not their string reprs)."""
+    from typical_spark.specs import FieldSpec, TableSpec
+
+    spec = TableSpec(
+        name="t", key_columns=("rid",),
+        fields=(
+            FieldSpec("rid", "long"),
+            FieldSpec("m", "map<int,long>", coerce_from="map"),
+            FieldSpec("b", "string", coerce_from="utf8"),
+        ),
+    )
+    out = from_rows(
+        [{"rid": 1, "m": {"1": "10"}, "b": "héllo".encode("utf-8")}],
+        spec, spark=spark,
+    ).collect()[0]
+    assert out["m"] == {1: 10} and out["b"] == "héllo"
+    with pytest.raises(TransmuteError):
+        from_rows([{"rid": 2, "b": b"\xff\xfe"}], spec, spark=spark)

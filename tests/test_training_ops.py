@@ -306,7 +306,31 @@ def test_embedding_exact_collapse(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert len(got) == 49 + 1
     assert {a for a, _ in got} == {0, 100}
-    assert all(r["cosine_sim"] == 1.0 for r in pairs)
+    # star pairs go through the exact verify (identical vectors -> ~1.0
+    # up to float associativity of dot vs sqrt*sqrt)
+    assert all(abs(r["cosine_sim"] - 1.0) < 1e-9 for r in pairs)
+
+
+def test_embedding_near_dups_tolerates_null_and_ragged(spark):
+    """NULL or wrong-length vectors must be skipped, not crash the Arrow
+    batch or claim duplicate pairs."""
+    rng = np.random.default_rng(11)
+    v = [float(x) for x in rng.standard_normal(16)]
+    rows = [(0, v), (1, v), (2, None), (3, None),
+            (4, [1.0, 2.0]), (5, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for arrow in (True, False):
+        pairs = embedding_near_duplicates(
+            df, cosine_threshold=0.99, n_planes=4, n_tables=2,
+            dim=16, use_arrow=arrow,
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        # the identical full-dim pair is found; NULLs never pair; the
+        # identical ragged pair is still caught by the exact-hash collapse
+        assert (0, 1) in got
+        assert not any(2 in p or 3 in p for p in got)
+        assert (4, 5) in got
+        assert len(got) == 2
 
 
 # ---------------------------------------------------------------------------
@@ -434,3 +458,13 @@ def test_ngram_contamination(spark, docs_df):
     # docs 0,1,2 contain the benchmark sentence verbatim (8 shared 3-grams)
     assert {(0, 100), (1, 100), (2, 100)} <= hit
     assert not any(d in (4, 5) for d, _ in hit)
+
+
+def test_dedup_groups_unconverged_raises(spark):
+    from typical_spark.operators.dedup import dedup_groups_connected
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_groups_connected(chain, max_iterations=2)

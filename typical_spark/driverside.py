@@ -43,10 +43,24 @@ def _active_spark(spark: SparkSession | None) -> SparkSession:
     return s
 
 
+def _coerce_input_type(how: str):
+    """Source type a coercion strategy reads from: most parse strings,
+    but 'map' coerces an existing map<string,string> and 'utf8' decodes
+    binary — declaring those as StringType would stringify the raw value
+    (repr mojibake) or fail analysis on map_keys."""
+    import pyspark.sql.types as T
+
+    if how == "map":
+        return T.MapType(T.StringType(), T.StringType())
+    if how == "utf8":
+        return T.BinaryType()
+    return T.StringType()
+
+
 def _input_struct(spec: TableSpec):
     """Input schema for raw mappings: declared dtype per field, except
-    coerce_from fields, which arrive as strings (that is what a coercion
-    declares: the source representation)."""
+    coerce_from fields, which arrive as the strategy's SOURCE
+    representation (string for parses, map/binary for map/utf8)."""
     import pyspark.sql.types as T
 
     base = spec_to_structtype(spec)
@@ -55,7 +69,9 @@ def _input_struct(spec: TableSpec):
     for f in base.fields:
         fs = by_name.get(f.name)
         if fs is not None and fs.coerce_from is not None:
-            fields.append(T.StructField(f.name, T.StringType(), True))
+            fields.append(
+                T.StructField(f.name, _coerce_input_type(fs.coerce_from), True)
+            )
         else:
             fields.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(fields)

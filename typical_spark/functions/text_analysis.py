@@ -196,7 +196,12 @@ def doc_fingerprint(col: Column, k: int = 5) -> Column:
 def word_ngrams_from(words: Column, n: int = 3) -> Column:
     """n-gram MULTISET of an already-split words array (duplicates kept —
     the repetition signal lives in the duplicates; `word_shingles_from`
-    is the distinct variant used for Jaccard)."""
+    is the distinct variant used for Jaccard).
+
+    Documents shorter than n words contribute their whole text as one
+    short gram (same deliberate choice as word_shingles_from: short
+    exact-duplicates must still collide in dedup; consumers needing
+    strict-length grams filter `size(split) >= n` upstream)."""
     size = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
@@ -212,15 +217,32 @@ def repetition_signals(col: Column, n: int = 3) -> dict[str, Column]:
     grams = _bind(words, lambda w: word_ngrams_from(w, n))
     n_grams = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
-    counts = _bind(
-        words,
-        lambda w: F.transform(
-            F.array_distinct(w),
-            lambda u: F.size(F.filter(w, lambda x: x == u)),
-        ),
-    )
+
+    # max token frequency in O(n log n): sort, then one run-length pass
+    # (a nested distinct x filter scan would be O(distinct * total) per
+    # row — quadratic on long web documents)
+    def _longest_run(w):
+        sw = F.sort_array(w)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc, x):
+            new_run = F.when(
+                acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+            ).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                new_run.alias("run"),
+                F.greatest(acc["best"], new_run).alias("best"),
+            )
+
+        return F.aggregate(sw, init, step, lambda acc: acc["best"])
+
     top_ratio = (
-        F.array_max(counts) / F.greatest(F.size(words), F.lit(1))
+        _bind(words, _longest_run) / F.greatest(F.size(words), F.lit(1))
     ).cast("double")
     return {
         "n_ngrams": n_grams,

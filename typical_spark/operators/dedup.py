@@ -464,6 +464,7 @@ def dedup_groups_connected(pairs: DataFrame, max_iterations: int = 25) -> DataFr
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -483,7 +484,17 @@ def dedup_groups_connected(pairs: DataFrame, max_iterations: int = 25) -> DataFr
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are WRONG group ids (the component min has
+        # not reached every node) — failing loudly beats silently
+        # corrupting downstream keep-one-per-group decisions.
+        raise RuntimeError(
+            f"dedup_groups_connected did not converge in {max_iterations} "
+            "rounds: a component's diameter exceeds the iteration budget; "
+            "raise max_iterations (rounds needed = max component diameter)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
 
 

@@ -67,7 +67,13 @@ def hash_split(
     no shuffle, no state; re-running on a grown corpus keeps every
     previously-assigned row in its split (membership depends only on
     the id), which is the property that prevents train/test leaks as a
-    crawl grows."""
+    crawl grows.
+
+    NULL-id policy: a NULL id gets split = NULL (and hash_sample drops
+    it) — deliberately NOT assigned to any split, because a stable
+    assignment is impossible without an identity. Enforce non-null ids
+    upstream with a NotNullCheck if id-less rows must be violations
+    rather than unassigned."""
     b = hash_bucket(F.col(id_col), seed, n_buckets)
     expr = None
     for name, lo, hi in split_cutoffs(list(splits), n_buckets):

@@ -173,40 +173,40 @@ def embedding_near_duplicates(
     stays ~GBs instead of the corpus size.
 
     collapse_exact: bit-identical vectors are collapsed to their min-id
-    representative before banding — (rep, member, 1.0) star pairs,
+    representative before banding — (rep, member) star candidate pairs,
     O(k) not O(k^2) per exact-duplicate group (see dedup._exact_group_reps
-    for why this matters at web duplication rates)."""
+    for why this matters at web duplication rates). The collapse groups
+    on xxhash64(vector) so only (id, 8-byte hash) rides its shuffle, and
+    star candidates go through the SAME exact-cosine verify as banding
+    candidates — a hash collision between different vectors therefore
+    yields a correctly-filtered pair, never a false duplicate claim.
+
+    NULL vectors and vectors of the wrong length never band (they cannot
+    be near-duplicates of anything; the Catalyst and Arrow paths both
+    skip them instead of failing the job)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    from pyspark.sql import Window
+    from typical_spark.operators.dedup import _ensure_parallelism, _exact_group_reps
 
-    from typical_spark.operators.dedup import _ensure_parallelism
-
-    base = _ensure_parallelism(df).select(
+    allv = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
-    star = None
+    base = allv
+    star_cand = None
     if collapse_exact:
-        w = Window.partitionBy("_v")
-        grouped = base.select(
-            "_id",
-            F.when(F.col("_v").isNull(), F.col("_id"))
-            .otherwise(F.min("_id").over(w))
-            .alias("_rep"),
+        groups = _exact_group_reps(
+            allv, "_id",
+            F.when(F.col("_v").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.xxhash64("_v")),
         )
-        star = (
-            grouped.where(F.col("_id") != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("id_a"),
-                F.col("_id").alias("id_b"),
-                F.lit(1.0).alias("cosine_sim"),  # identical vectors
-            )
-            .where(F.lit(1.0) >= F.lit(cosine_threshold))
+        star_cand = groups.where(F.col("_id") != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"), F.col("_id").alias("id_b")
         )
-        reps = grouped.where(F.col("_id") == F.col("_rep")).select(
+        reps = groups.where(F.col("_id") == F.col("_rep")).select(
             F.col("_id").alias("_rid")
         )
-        base = base.join(reps, base["_id"] == F.col("_rid"), "left_semi")
+        base = allv.join(reps, allv["_id"] == F.col("_rid"), "left_semi")
+    base = base.where(F.col("_v").isNotNull() & (F.size("_v") == dim))
     rng = np.random.default_rng(seed)
     all_planes = rng.standard_normal((n_tables * n_planes, dim))
     if use_arrow:
@@ -222,11 +222,22 @@ def embedding_near_duplicates(
 
         @pandas_udf("array<long>")
         def bucket_keys(vecs: pd.Series) -> pd.Series:
-            m = np.stack(vecs.to_numpy())  # (batch, dim)
-            bits = (m @ planes_t) >= 0  # (batch, tables*planes)
-            bt = bits.reshape(len(m), n_tables, n_planes)
-            keys = bt @ weights  # (batch, tables) ints
-            return pd.Series(list(keys))
+            # base pre-filters NULL/wrong-length vectors, but stay
+            # defensive: a stray bad element must yield a NULL key array
+            # (row silently unbanded), never crash the task
+            vals = vecs.to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == planes_t.shape[0] for v in vals]
+            )
+            out = np.empty(len(vals), dtype=object)
+            if ok.any():
+                m = np.stack(vals[ok])  # (n_ok, dim)
+                bits = (m @ planes_t) >= 0  # (n_ok, tables*planes)
+                bt = bits.reshape(int(ok.sum()), n_tables, n_planes)
+                keys = bt @ weights  # (n_ok, tables) ints
+                for j, i in enumerate(np.nonzero(ok)[0]):
+                    out[i] = keys[j]
+            return pd.Series(out)
 
         tagged = base.select(
             "_id",
@@ -263,8 +274,14 @@ def embedding_near_duplicates(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    if star_cand is not None:
+        # star candidates join the SAME verify as banding candidates
+        # (members were semi-joined out of base, so no pair repeats)
+        cand = cand.unionByName(star_cand)
+    # verify against the FULL vector table: star members are not in the
+    # collapsed `base`, but their pairs still need exact cosine
+    va = allv.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = allv.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -276,9 +293,6 @@ def embedding_near_duplicates(
             ),
         )
     )
-    out = out.where(F.col("cosine_sim") >= cosine_threshold).select(
+    return out.where(F.col("cosine_sim") >= cosine_threshold).select(
         "id_a", "id_b", "cosine_sim"
     )
-    if star is not None:
-        out = out.unionAll(star)
-    return out
