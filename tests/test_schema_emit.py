@@ -127,3 +127,35 @@ def test_field_refs_must_resolve():
                      fields=(FieldSpec("x", "struct"),))
     with pytest.raises(ValueError, match="undefined"):
         spec_to_json_schema(spec, refs={}, field_refs={"x": "nope"})
+
+
+def test_schema_conformance(spark):
+    from typical_spark.schema import schema_conformance
+    from typical_spark.specs import FieldSpec, TableSpec
+
+    spec = TableSpec(
+        name="t", key_columns=("a",),
+        fields=(
+            FieldSpec("a", "bigint", nullable=False),
+            FieldSpec("b", "string"),
+            FieldSpec("c", "double", coerce_from="string"),  # exempt: arrives as string
+            FieldSpec("nested.x", "int"),
+        ),
+    )
+    ok = spark.createDataFrame(
+        [], "a bigint, b string, c string, nested struct<x:int>"
+    )
+    assert schema_conformance(ok, spec) == []
+
+    bad = spark.createDataFrame(
+        [], "a int, c string, nested struct<y:int>, junk string"
+    )
+    got = {(v["column"], v["check_id"]) for v in schema_conformance(bad, spec)}
+    assert got == {
+        ("a", "type_mismatch"),       # int != bigint
+        ("b", "missing_column"),
+        ("nested.x", "missing_column"),
+    }
+    got_total = {(v["column"], v["check_id"])
+                 for v in schema_conformance(bad, spec, total=True)}
+    assert ("junk", "extra_column") in got_total

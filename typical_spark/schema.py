@@ -211,3 +211,71 @@ def spec_to_json_schema(
 
 def json_schema_str(spec: TableSpec, **kw) -> str:
     return json.dumps(spec_to_json_schema(spec, **kw), indent=2, sort_keys=True)
+
+
+def schema_conformance(df, spec: TableSpec, total: bool = False) -> list[dict]:
+    """Structural spec-vs-table diff — the engine's analog of the
+    reference's protocol/shape checks (typic validates structure before
+    values; a DataFrame whose SCHEMA can't satisfy the spec should fail
+    fast at the driver, before a single task runs).
+
+    Returns a list of violation dicts (column, check_id, observed,
+    expected); empty = conformant. Checks:
+      missing_column  a spec field (or a dotted nested leaf) is absent
+      type_mismatch   a present column's type differs from the declared
+                      dtype (exact simpleString comparison; declared
+                      coercions exempt their field — the source column is
+                      EXPECTED to arrive as the coercion's input type)
+      extra_column    (total=True only) a table column no spec field
+                      covers — the closed-schema mode, mirroring the
+                      reference's total/closed mapping semantics.
+
+    Driver-side metadata only: no job is launched."""
+    import pyspark.sql.types as T
+
+    violations: list[dict] = []
+    by_name = {f.name: f for f in df.schema.fields}
+
+    def leaf_type(root: str, leaf: str):
+        f = by_name.get(root)
+        if f is None or not isinstance(f.dataType, T.StructType):
+            return None, False
+        for sub in f.dataType.fields:
+            if sub.name == leaf:
+                return sub.dataType.simpleString(), True
+        return None, False
+
+    covered = set()
+    for fs in spec.fields:
+        want = fs.dtype.strip().lower()
+        if "." in fs.name:
+            root, leaf = fs.name.split(".", 1)
+            covered.add(root)
+            got, present = leaf_type(root, leaf)
+        else:
+            covered.add(fs.name)
+            f = by_name.get(fs.name)
+            present = f is not None
+            got = f.dataType.simpleString() if present else None
+        if not present:
+            violations.append({
+                "column": fs.name, "check_id": "missing_column",
+                "observed": None, "expected": f"column of type {want}",
+            })
+            continue
+        if fs.coerce_from is not None:
+            continue  # source arrives as the coercion's input type
+        if got != want:
+            violations.append({
+                "column": fs.name, "check_id": "type_mismatch",
+                "observed": got, "expected": want,
+            })
+    if total:
+        for name in by_name:
+            if name not in covered:
+                violations.append({
+                    "column": name, "check_id": "extra_column",
+                    "observed": by_name[name].dataType.simpleString(),
+                    "expected": "no column outside the spec (total=True)",
+                })
+    return violations
