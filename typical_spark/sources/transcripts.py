@@ -152,16 +152,23 @@ def replicate_transcripts(df, factor: int, conv_id_col: str = "conv_id"):
     """
     from pyspark.sql import functions as F
 
-    assert 1 <= factor <= 10
+    assert 1 <= factor <= 100
     parts = []
     for r in range(factor):
+        # replica index overwrites the LEADING digit(s) of the 8-digit id
+        # (ids are generated dense-from-zero, so the leading two digits
+        # are zero for any realistic base size — replicas stay disjoint
+        # AND no two base ids collapse within a replica, keeping
+        # violation counts exactly factor-linear)
+        if factor <= 10:
+            prefix, rest = str(r), F.substring(conv_id_col, 3, 7)
+        else:
+            prefix, rest = f"{r:02d}", F.substring(conv_id_col, 4, 6)
         remapped = df.withColumn(
             conv_id_col,
             F.when(
                 F.col(conv_id_col).rlike("^c[0-9]{8}$"),
-                F.concat(
-                    F.lit("c"), F.lit(str(r)), F.substring(conv_id_col, 3, 7)
-                ),
+                F.concat(F.lit("c"), F.lit(prefix), rest),
             ).otherwise(F.col(conv_id_col)),
         )
         if "ts" in df.columns:
