@@ -553,9 +553,12 @@ def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_duration_seconds,
         time_of_day_seconds,
     )
+    from typical_spark.operators.dedup import _ensure_parallelism
     from typical_spark.serde import iso_duration_from_seconds, iso_time_from_seconds
 
-    ev = load_table(spark, sf_dir, "events")
+    # regex-parse kernels are CPU-bound: a single small parquet split
+    # would run them serially (the narrow repartition is ~free)
+    ev = _ensure_parallelism(load_table(spark, sf_dir, "events"))
     n = F.floor(F.col("value") * 10).cast("long")
     n_signed = F.when(F.col("event_id") % 3 == 0, -n).otherwise(n)
     dur_str = F.when(
