@@ -542,6 +542,38 @@ def q_documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift between the value distributions of two
+    event types — the exact twin of the t-digest drift path, verifiable
+    in SQL (identical cumulative-window computation in DuckDB)."""
+    from typical_spark.operators.drift import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(ev, "value", "event_type", "click", "purchase")
+
+
+def q_documents_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation user story in one query: keep-first
+    near-dup survivors -> quality gate (alpha ratio + token floor) ->
+    deterministic split assignment. Oracle composes the same three
+    stages from their already-verified SQL twins."""
+    from typical_spark.functions.text_analysis import quality_signals
+    from typical_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dup_survivors,
+    )
+    from typical_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.8)
+    surv = near_dup_survivors(docs, "doc_id", pairs)
+    s = quality_signals(F.col("text"))
+    good = surv.where(
+        (s["alpha_ratio"] >= 0.6) & (s["n_tokens"] >= 20)
+    )
+    return hash_split(good, "doc_id").select("doc_id", "split")
+
+
 def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-duration + time-of-day round trip at the gate (A32/A33
     deserialize halves): serialize a per-event seconds value to ISO-8601
@@ -613,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_repetition": q_documents_repetition,
         "documents_pii": q_documents_pii,
         "documents_contamination": q_documents_contamination,
+        "events_value_ks": q_events_value_ks,
+        "documents_curated": q_documents_curated,
     }
 
 
@@ -716,6 +750,45 @@ def _documents_pii_oracle() -> str:
     return f"""
         SELECT doc_id, {', '.join(counts)}, md5({red}) AS redacted_md5
         FROM (SELECT doc_id, {planted} AS t FROM documents)
+    """
+
+
+def _documents_curated_oracle() -> str:
+    """Composes the three already-verified stage twins: minhash keep-first
+    survivors (shared CTE), the quality gate (same NULL alignment as the
+    documents_quality oracle), and the split CASE from split_cutoffs."""
+    from typical_spark.operators.sampling import split_cutoffs
+
+    cuts = split_cutoffs(
+        [("train", 0.98), ("val", 0.01), ("test", 0.01)], 8192
+    )
+    whens = " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'" for name, lo, hi in cuts
+    )
+    return f"""
+        WITH {_MINHASH_PAIR_CTES},
+        q AS (
+            SELECT doc_id,
+                   CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0) AS DOUBLE)
+                       / GREATEST(coalesce(length(text), 0), 1) AS alpha_r,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS n_tokens
+            FROM documents
+        ),
+        surv AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM allpairs)
+        ),
+        kept AS (
+            SELECT s.doc_id FROM surv s JOIN q USING (doc_id)
+            WHERE q.alpha_r >= 0.6 AND q.n_tokens >= 20
+        )
+        SELECT doc_id, CASE {whens} END AS split
+        FROM (
+            SELECT doc_id,
+                   md5_number_lower(CAST(doc_id AS VARCHAR) || ':42') & 8191 AS b
+            FROM kept
+        )
     """
 
 
@@ -1104,6 +1177,33 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "documents_split": _documents_split_oracle(),
+        "documents_curated": _documents_curated_oracle(),
+        "events_value_ks": """
+            WITH v AS (
+                SELECT value, event_type FROM events
+                WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+            ),
+            agg AS (
+                SELECT value,
+                       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+                FROM v GROUP BY value
+            ),
+            cum AS (
+                SELECT sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cca,
+                       sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ccb
+                FROM agg
+            ),
+            tot AS (
+                SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b
+                FROM v
+            )
+            SELECT n_a, n_b,
+                   round(max(abs(CAST(cca AS DOUBLE) / n_a
+                                 - CAST(ccb AS DOUBLE) / n_b)), 6) AS ks_stat
+            FROM cum, tot GROUP BY n_a, n_b
+        """,
         "documents_repetition": """
             WITH g AS (
                 SELECT doc_id,

@@ -76,3 +76,22 @@ def test_partition_digests_vs_percentile_approx(spark):
     approx = {r["bucket"]: r["p50"] for r in ga}
     for g in ("a", "b"):
         assert abs(float(digests[g].quantile(0.5)[0]) - approx[g]) < 0.3
+
+
+def test_ks_two_sample_exact(spark):
+    from typical_spark.operators.drift import ks_two_sample
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    # F_a - F_b evaluated at distinct values {1,2,3,4}: 1/3,1/3,1/3,0
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert abs(r["ks_stat"] - 1 / 3) < 1e-6
+
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [("a", float(x % 5)) for x in range(50)]
+        + [("b", float(x % 5)) for x in range(50)],
+        "g string, v double",
+    )
+    assert ks_two_sample(same, "v", "g", "a", "b").collect()[0]["ks_stat"] == 0.0

@@ -187,3 +187,58 @@ def drift_report(
             row[f"q_{q}"] = float(v)
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic, fully columnar:
+    group by distinct value (narrow map-side-combined shuffle), one
+    globally-ordered cumulative window over the DISTINCT values, max of
+    |F_a - F_b|. Exact complement of the t-digest approximate drift path
+    (drift_report): prefer this when distinct-value cardinality is
+    bounded — the pre-aggregation means the ordered window sees one row
+    per distinct value, but its final cumsum is inherently a single
+    ordered pass; at extreme cardinality use the sketch. Evaluating the
+    CDF gap at (and only at) distinct values with counts accumulated
+    INCLUSIVE of the current value handles ties exactly.
+
+    Output: one row (n_a, n_b, ks_stat)."""
+    from pyspark.sql import Window
+
+    vals = df.where(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    agg = vals.groupBy(value_col).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, 1).otherwise(0)
+        ).alias("_ca"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, 1).otherwise(0)
+        ).alias("_cb"),
+    )
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        F.sum("_ca").over(w).alias("ca"), F.sum("_cb").over(w).alias("cb")
+    )
+    totals = vals.groupBy().agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+                )
+            ).alias("ks_stat")
+        )
+        .select("n_a", "n_b", F.round("ks_stat", 6).alias("ks_stat"))
+    )
