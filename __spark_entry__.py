@@ -542,6 +542,24 @@ def q_documents_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_documents_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus vocabulary stats: top-20 normalized tokens (explode
+    -> map-side-combined count -> TakeOrdered top-k; ties broken by
+    token so the cut is deterministic on both engines)."""
+    from typical_spark.functions.text_analysis import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
 def q_events_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS drift between the value distributions of two
     event types — the exact twin of the t-digest drift path, verifiable
@@ -647,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_contamination": q_documents_contamination,
         "events_value_ks": q_events_value_ks,
         "documents_curated": q_documents_curated,
+        "documents_top_tokens": q_documents_top_tokens,
     }
 
 
@@ -1178,6 +1197,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "documents_split": _documents_split_oracle(),
         "documents_curated": _documents_curated_oracle(),
+        "documents_top_tokens": """
+            SELECT tok, count(*) AS n
+            FROM (
+                SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+                    lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                    '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            )
+            GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+        """,
         "events_value_ks": """
             WITH v AS (
                 SELECT value, event_type FROM events

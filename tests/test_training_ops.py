@@ -468,3 +468,32 @@ def test_dedup_groups_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         dedup_groups_connected(chain, max_iterations=2)
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from typical_spark.operators.multimodal import (
+        extract_features,
+        fake_decode,
+        frame_sample,
+        resize_features,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 16  # 4104 bytes
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, None)], "media_id long, payload binary"
+    )
+    feats = extract_features(df.where("payload is not null"),
+                             decoder=fake_decode, feat_dim=16)
+    small = resize_features(feats, out_dim=4).collect()
+    assert len(small) == 1 and len(small[0]["feature"]) == 4
+    # deterministic
+    again = resize_features(feats, out_dim=4).collect()
+    assert small[0]["feature"] == again[0]["feature"]
+
+    frames = frame_sample(df, every_n_bytes=1024, max_frames=3).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 3  # capped at max_frames
+    assert 2 not in by_id      # NULL payload contributes no frames
+    assert all(len(bytes(r["frame"])) == 1024 for r in by_id[1])

@@ -116,3 +116,83 @@ def media_metadata(
         mime.alias("mime"),
         F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample plumbing (decode-adjacent transforms)
+# ---------------------------------------------------------------------------
+
+
+def fake_resize(feature: np.ndarray, out_dim: int) -> np.ndarray:
+    """Deterministic stand-in for an image resize: average-pool the
+    feature vector down to out_dim (the real hook would decode + resize
+    pixels; the media libs are absent in this container — see
+    real_decode_stub)."""
+    v = np.asarray(feature, dtype=np.float64)
+    pad = (-len(v)) % out_dim
+    if pad:
+        v = np.concatenate([v, np.zeros(pad)])
+    return v.reshape(out_dim, -1).mean(axis=1)
+
+
+def resize_features(
+    feats: DataFrame,
+    out_dim: int,
+    feature_col: str = "feature",
+    id_col: str = "media_id",
+    resizer: Callable[[np.ndarray, int], np.ndarray] = fake_resize,
+) -> DataFrame:
+    """Batch resize over extracted features: one Arrow exchange, numpy
+    per batch, schema (media_id, feature: array<double>). Same
+    soft-failure contract as extract_features (bad rows -> NULL)."""
+    src = feats.select(id_col, feature_col)
+    schema = f"{id_col} long, feature array<double>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for v in pdf[feature_col]:
+                try:
+                    out.append(
+                        None if v is None else [float(x) for x in resizer(v, out_dim)]
+                    )
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col], "feature": out})
+
+    return src.mapInPandas(batches, schema)
+
+
+def frame_sample(
+    media: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame sampling plumbing for video-ish payloads: emit up to
+    max_frames (media_id, frame_idx, frame: binary) rows per payload —
+    here deterministic byte-stride windows standing in for real keyframe
+    extraction (same seam as the decoder stubs), with the Spark-side
+    shape a real sampler needs: one input row fans out to N frame rows
+    inside the Arrow batch, no driver involvement."""
+    src = media.select(id_col, payload_col)
+    schema = f"{id_col} long, frame_idx int, frame binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n = min(max(len(b) // every_n_bytes, 1), max_frames)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes:(i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return src.mapInPandas(batches, schema)
