@@ -6,16 +6,23 @@ the input_hint's stable-turn-ordering invariant (SURVEY.md Table B,
 ordered columns; each violation class is a cheap comparison on the lagged
 values — all in a single shuffle on the group key.
 
-Scale: the window shuffles on `group_cols` (conv_id). Conversations are
-bounded (≲10^4 turns), so per-group state is tiny; hot groups are a salt
-concern only for *uniqueness* (which handles it separately) — an ordering
-check cannot be salted without breaking the order, and does not need to
-be at realistic conversation sizes.
+Scale: the window variant shuffles on `group_cols` (conv_id) and is the
+right default — conversations are bounded (≲10^4 turns), so per-group
+state is tiny. A group CANNOT be salted without breaking its order, but
+it does not have to be windowed either: `ordering_violations_skew_safe`
+range-partitions on (group, order) — a pathological 10^9-turn group is
+then SPLIT across many ordered partitions, adjacent pairs are checked
+inside each partition (Arrow batches, with carry between batches), and
+the O(#partitions) boundary pairs are checked in one tiny follow-up.
+Same violations, no task ever holds more than a partition's worth of one
+group (pytest asserts exact equality with the window variant).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -94,4 +101,135 @@ def ordering_violations(
         .where(F.size("_v") > 0)
         .select(*group_cols, F.col(order_col), F.explode("_v").alias("v"))
         .select(*group_cols, F.col(order_col), "v.*")
+    )
+
+
+def _fmt_ts(t) -> str:
+    """Mirror Spark's timestamp->string cast (fraction without trailing
+    zeros) so skew-safe violations are byte-identical to the window
+    variant's."""
+    s = t.strftime("%Y-%m-%d %H:%M:%S")
+    us = getattr(t, "microsecond", 0)
+    if us:
+        s += "." + f"{us:06d}".rstrip("0")
+    return s
+
+
+def ordering_violations_skew_safe(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    ts_col: str | None = None,
+    require_contiguous: bool = True,
+    require_ts_monotonic: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-group-proof twin of ordering_violations: identical violation
+    rows, but NO per-group window. repartitionByRange on (group, order)
+    splits even a 10^9-turn group across ordered partitions; adjacent
+    pairs are checked inside each partition with an Arrow-batched pass
+    (carrying the last row across batch boundaries), and the
+    O(#partitions) pairs that straddle partition boundaries are checked
+    in a bounded driver-side follow-up (2 summary rows per partition).
+    Ties in order_col make the 'previous row' of the NEXT element
+    ambiguous in BOTH variants (window sort is equally tie-unstable), so
+    exact-equality guarantees hold for tie-free order values; the
+    duplicate/gap/regression classes are tie-order-independent."""
+    from pyspark import TaskContext
+
+    gc = list(group_cols)
+    cols = [*gc, order_col] + ([ts_col] if ts_col else [])
+    src = df.select(*cols)
+    spark = src.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    sort_exprs = [F.col(c) for c in (*gc, order_col)]
+    rp = src.repartitionByRange(n, *sort_exprs).sortWithinPartitions(*sort_exprs)
+
+    types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    out_schema = ", ".join(
+        [f"`{c}` {types[c]}" for c in cols]
+        + ["kind string", "pid int",
+           "check_id string", "observed string", "expected string"]
+    )
+
+    def check_pair(prev: dict, cur: dict) -> list[tuple[str, str, str]]:
+        if any(prev[g] != cur[g] for g in gc):
+            return []
+        po, co = prev[order_col], cur[order_col]
+        if po is None or co is None:
+            return []
+        out = []
+        d = co - po
+        if d == 0:
+            out.append(("order_duplicate", str(co), f"!= prev {po}"))
+        if require_contiguous and d > 1:
+            out.append(("order_gap", str(co), f"prev + 1 = {po + 1}"))
+        if ts_col and require_ts_monotonic:
+            pt, ct = prev[ts_col], cur[ts_col]
+            if pt is not None and ct is not None and ct < pt and d > 0:
+                out.append(
+                    ("ts_out_of_order", _fmt_ts(ct), f">= prev ts {_fmt_ts(pt)}")
+                )
+        return out
+
+    def _clean(rec: dict) -> dict:
+        return {k: (None if pd.isna(v) else v) for k, v in rec.items()}
+
+    def part(it):
+        pid = TaskContext.get().partitionId()
+        carry = None
+        first = None
+        rows: list[dict] = []
+        for pdf in it:
+            for rec in pdf.to_dict("records"):
+                rec = _clean(rec)
+                if first is None:
+                    first = rec
+                if carry is not None:
+                    for cid, obs, exp in check_pair(carry, rec):
+                        rows.append({
+                            **{c: rec[c] for c in cols}, "kind": "v",
+                            "pid": pid, "check_id": cid,
+                            "observed": obs, "expected": exp,
+                        })
+                carry = rec
+        for kind, rec in (("first", first), ("last", carry)):
+            if rec is not None:
+                rows.append({
+                    **{c: rec[c] for c in cols}, "kind": kind, "pid": pid,
+                    "check_id": None, "observed": None, "expected": None,
+                })
+        yield pd.DataFrame(rows, columns=[*cols, "kind", "pid",
+                                          "check_id", "observed", "expected"])
+
+    res = rp.mapInPandas(part, out_schema).persist()
+    inner = res.where(F.col("kind") == "v")
+
+    # boundary pairs: last(p) x first(next non-empty p) — bounded by the
+    # partition count, never by data volume
+    bounds = sorted(
+        (r.asDict() for r in res.where(F.col("kind") != "v").collect()),
+        key=lambda r: (r["pid"], 0 if r["kind"] == "first" else 1),
+    )
+    edge_rows = []
+    prev_last = None
+    for r in bounds:
+        if r["kind"] == "first":
+            if prev_last is not None:
+                for cid, obs, exp in check_pair(prev_last, r):
+                    edge_rows.append({
+                        **{c: r[c] for c in cols}, "kind": "v",
+                        "pid": int(r["pid"]), "check_id": cid,
+                        "observed": obs, "expected": exp,
+                    })
+        else:
+            prev_last = r
+    edges = spark.createDataFrame(
+        [tuple(e[c] for c in [*cols, "kind", "pid", "check_id", "observed", "expected"])
+         for e in edge_rows],
+        out_schema,
+    )
+    out = inner.unionByName(edges)
+    return out.select(
+        *gc, F.col(order_col), "check_id", "observed", "expected"
     )
