@@ -1,0 +1,115 @@
+"""Spec (de)serialization: TableSpec <-> JSON, so validation specs live
+as versionable config instead of Python code. The inverse of the
+JSON-Schema emitter: schema.py tells the WORLD what the spec means;
+spec_io round-trips the spec itself (the reference's analog is resolving
+annotations — a config-driven engine needs the declarative form to be
+data). Round-trip is exact: spec_from_dict(spec_to_dict(s)) == s for
+every check type, asserted by test.
+
+Format: {"name": ..., "key_columns": [...], "fields": [{"name": ...,
+"dtype": ..., "nullable": ..., "coerce_from": ..., "checks": [{"type":
+"NumberCheck", ...fields...}]}]}. Nested checks (union members, map
+value checks, tagged cases, array element checks) recurse; datetimes
+are ISO strings; CustomCheck serializes by registry name (the callable
+must be register_check'd in the loading process, same contract as at
+compile time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+import json
+
+from typical_spark import specs as S
+
+_CHECK_TYPES = {
+    cls.__name__: cls
+    for cls in (
+        S.NotNullCheck, S.NumberCheck, S.TextCheck, S.EnumCheck,
+        S.TimestampRangeCheck, S.ArrayCheck, S.CustomCheck, S.DecimalCheck,
+        S.UnionCheck, S.FormatCheck, S.MapCheck, S.TaggedCheck,
+        S.ArrayElementsCheck,
+    )
+}
+
+
+def _enc(v):
+    if isinstance(v, S.Check):
+        return check_to_dict(v)
+    if isinstance(v, dt.datetime):
+        return {"$dt": v.isoformat()}
+    if isinstance(v, tuple):
+        return [_enc(x) for x in v]
+    return v
+
+
+def _dec(v):
+    if isinstance(v, dict):
+        if "$dt" in v:
+            return dt.datetime.fromisoformat(v["$dt"])
+        return check_from_dict(v)
+    if isinstance(v, list):
+        return tuple(_dec(x) for x in v)
+    return v
+
+
+def check_to_dict(chk: S.Check) -> dict:
+    return {
+        "type": type(chk).__name__,
+        **{
+            f.name: _enc(getattr(chk, f.name))
+            for f in dataclasses.fields(chk)
+        },
+    }
+
+
+def check_from_dict(d: dict) -> S.Check:
+    d = dict(d)
+    tname = d.pop("type")
+    if tname not in _CHECK_TYPES:
+        raise ValueError(f"unknown check type {tname!r}")
+    cls = _CHECK_TYPES[tname]
+    return cls(**{k: _dec(v) for k, v in d.items()})
+
+
+def spec_to_dict(spec: S.TableSpec) -> dict:
+    return {
+        "name": spec.name,
+        "key_columns": list(spec.key_columns),
+        "fields": [
+            {
+                "name": fs.name,
+                "dtype": fs.dtype,
+                "nullable": fs.nullable,
+                "coerce_from": fs.coerce_from,
+                "checks": [check_to_dict(c) for c in fs.checks],
+            }
+            for fs in spec.fields
+        ],
+    }
+
+
+def spec_from_dict(d: dict) -> S.TableSpec:
+    return S.TableSpec(
+        name=d["name"],
+        key_columns=tuple(d.get("key_columns", ())),
+        fields=tuple(
+            S.FieldSpec(
+                name=f["name"],
+                dtype=f.get("dtype", "string"),
+                nullable=f.get("nullable", True),
+                coerce_from=f.get("coerce_from"),
+                checks=tuple(check_from_dict(c) for c in f.get("checks", ())),
+            )
+            for f in d.get("fields", ())
+        ),
+    )
+
+
+def spec_to_json(spec: S.TableSpec, **kw) -> str:
+    return json.dumps(spec_to_dict(spec), sort_keys=True, **kw)
+
+
+def spec_from_json(s: str) -> S.TableSpec:
+    return spec_from_dict(json.loads(s))
