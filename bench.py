@@ -173,8 +173,8 @@ def main() -> None:
 
     # warmup + min-of-2 for the headline number: this sandbox is a shared
     # host with large wall-time variance (see BASELINE.md notes). The
-    # flagship runs on the materialized 8M-turn table (2M base x factor 4)
-    # so fixed per-job costs don't dominate the throughput figure.
+    # flagship runs on the materialized table (2M base x BENCH_FACTOR,
+    # default 16M turns) so fixed per-job costs don't dominate.
     os.environ.setdefault("BENCH_REPEAT", "2")
     # factor 8 = the 16M-turn materialized table the --scaling runs also
     # use (already cached on disk): per-job fixed costs are ~amortized

@@ -226,9 +226,10 @@ def ks_two_sample(
     cum = agg.select(
         F.sum("_ca").over(w).alias("ca"), F.sum("_cb").over(w).alias("cb")
     )
-    totals = vals.groupBy().agg(
-        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("n_b"),
+    # totals fold the tiny per-distinct-value table — NOT a second scan
+    # of the source
+    totals = agg.groupBy().agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
     )
     return (
         cum.crossJoin(F.broadcast(totals))

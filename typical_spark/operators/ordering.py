@@ -175,12 +175,25 @@ def ordering_violations_skew_safe(
     def _clean(rec: dict) -> dict:
         return {k: (None if pd.isna(v) else v) for k, v in rec.items()}
 
+    # Arrow->pandas converts an integral column to float64 whenever the
+    # batch contains a NULL, which would format violations as '3.0' and
+    # break byte-parity with the window variant; restore nullable ints.
+    # (Caveat: integral values beyond 2^53 in a null-containing batch
+    # have already lost precision in that float hop.)
+    int_cols = [
+        f.name for f in src.schema.fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    ]
+
     def part(it):
         pid = TaskContext.get().partitionId()
         carry = None
         first = None
         rows: list[dict] = []
         for pdf in it:
+            for c in int_cols:
+                if pdf[c].dtype.kind == "f":
+                    pdf[c] = pdf[c].astype("Int64")
             for rec in pdf.to_dict("records"):
                 rec = _clean(rec)
                 if first is None:
@@ -202,7 +215,12 @@ def ordering_violations_skew_safe(
         yield pd.DataFrame(rows, columns=[*cols, "kind", "pid",
                                           "check_id", "observed", "expected"])
 
-    res = rp.mapInPandas(part, out_schema).persist()
+    # localCheckpoint (eager), NOT persist(): the two downstream reads
+    # share the materialized blocks, and the ContextCleaner reclaims them
+    # once the returned DataFrame is dereferenced — an explicit persist
+    # would pin executor storage forever with no handle for the caller
+    # to unpersist.
+    res = rp.mapInPandas(part, out_schema).localCheckpoint()
     inner = res.where(F.col("kind") == "v")
 
     # boundary pairs: last(p) x first(next non-empty p) — bounded by the

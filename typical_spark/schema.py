@@ -245,9 +245,17 @@ def schema_conformance(df, spec: TableSpec, total: bool = False) -> list[dict]:
                 return sub.dataType.simpleString(), True
         return None, False
 
+    def canon(dtype: str) -> str:
+        # normalize aliases ('long'=='bigint', 'integer'=='int') the same
+        # way the rest of the engine does: through Spark's type parser
+        try:
+            return T._parse_datatype_string(dtype).simpleString()
+        except Exception:
+            return dtype.strip().lower()
+
     covered = set()
     for fs in spec.fields:
-        want = fs.dtype.strip().lower()
+        want = canon(fs.dtype)
         if "." in fs.name:
             root, leaf = fs.name.split(".", 1)
             covered.add(root)

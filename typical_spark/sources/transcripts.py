@@ -153,6 +153,15 @@ def replicate_transcripts(df, factor: int, conv_id_col: str = "conv_id"):
     from pyspark.sql import functions as F
 
     assert 1 <= factor <= 100
+    # dense-id assumption guard: the replica prefix overwrites leading
+    # digits, so base conversations must fit in the remaining ones
+    # (7 digits for factor<=10, 6 beyond) or distinct base ids would
+    # collapse within a replica and violation counts would go superlinear
+    n_convs = df.select(conv_id_col).distinct().count() if factor > 10 else 0
+    assert factor <= 10 or n_convs < 1_000_000, (
+        f"{n_convs} base conversations need >6 id digits; "
+        "factor > 10 would collapse distinct ids within replicas"
+    )
     parts = []
     for r in range(factor):
         # replica index overwrites the LEADING digit(s) of the 8-digit id

@@ -23,15 +23,19 @@ import json
 
 from typical_spark import specs as S
 
-_CHECK_TYPES = {
-    cls.__name__: cls
-    for cls in (
-        S.NotNullCheck, S.NumberCheck, S.TextCheck, S.EnumCheck,
-        S.TimestampRangeCheck, S.ArrayCheck, S.CustomCheck, S.DecimalCheck,
-        S.UnionCheck, S.FormatCheck, S.MapCheck, S.TaggedCheck,
-        S.ArrayElementsCheck,
-    )
-}
+def _check_types() -> dict[str, type]:
+    """Registry derived from the live Check subclass tree (recursive), so
+    a check type added to specs.py — or a user-defined subclass imported
+    in this process — round-trips without touching this module. A type
+    must be importable at LOAD time in the loading process; encode never
+    writes a name decode can't resolve in the same environment."""
+    out: dict[str, type] = {}
+    stack = list(S.Check.__subclasses__())
+    while stack:
+        cls = stack.pop()
+        out[cls.__name__] = cls
+        stack.extend(cls.__subclasses__())
+    return out
 
 
 def _enc(v):
@@ -67,10 +71,13 @@ def check_to_dict(chk: S.Check) -> dict:
 def check_from_dict(d: dict) -> S.Check:
     d = dict(d)
     tname = d.pop("type")
-    if tname not in _CHECK_TYPES:
-        raise ValueError(f"unknown check type {tname!r}")
-    cls = _CHECK_TYPES[tname]
-    return cls(**{k: _dec(v) for k, v in d.items()})
+    types = _check_types()
+    if tname not in types:
+        raise ValueError(
+            f"unknown check type {tname!r}: import the module defining it "
+            "before loading the spec"
+        )
+    return types[tname](**{k: _dec(v) for k, v in d.items()})
 
 
 def spec_to_dict(spec: S.TableSpec) -> dict:
