@@ -84,7 +84,12 @@ def _flagship(spark, n_turns: int, factor: int = 1) -> dict:
     }
 
 
-SCALE_FACTOR = int(os.environ.get("SCALE_FACTOR", "4"))
+# Scaling runs measure at 16M turns (factor 8): at 8M, per-job fixed
+# costs (planning, broadcast build) are a big enough slice of the
+# local[2] wall that measured efficiency understates the engine by
+# ~0.1-0.15 (see BASELINE.md size-linearity) — the efficiency criterion
+# is about the ENGINE's scaling, so measure where work dominates.
+SCALE_FACTOR = int(os.environ.get("SCALE_FACTOR", "8"))
 
 
 def run_flagship_subprocess(cores: int, factor: int = 1) -> dict:
