@@ -27,16 +27,30 @@ from typical_spark.session import get_spark
 from typical_spark.specs import (
     ArrayCheck,
     Check,
+    DecimalCheck,
     EnumCheck,
     FieldSpec,
+    FormatCheck,
+    MapCheck,
     NotNullCheck,
     NumberCheck,
     TableSpec,
+    TaggedCheck,
     TextCheck,
     TimestampRangeCheck,
+    UnionCheck,
+    discover_tag,
+    register_check,
 )
 from typical_spark.compiler import compile_table_spec
 from typical_spark.plans.validation import ValidationPlan, ValidationResult
+from typical_spark.driverside import enforce, from_rows, load_env_settings
+from typical_spark.schema import (
+    schema_conformance,
+    spec_to_json_schema,
+    spec_to_structtype,
+)
+from typical_spark.spec_io import spec_from_json, spec_to_json
 
 __all__ = [
     "get_spark",
@@ -47,11 +61,26 @@ __all__ = [
     "NotNullCheck",
     "ArrayCheck",
     "TimestampRangeCheck",
+    "DecimalCheck",
+    "FormatCheck",
+    "MapCheck",
+    "TaggedCheck",
+    "UnionCheck",
     "FieldSpec",
     "TableSpec",
+    "discover_tag",
+    "register_check",
     "compile_table_spec",
     "ValidationPlan",
     "ValidationResult",
+    "from_rows",
+    "enforce",
+    "load_env_settings",
+    "schema_conformance",
+    "spec_to_json_schema",
+    "spec_to_structtype",
+    "spec_to_json",
+    "spec_from_json",
 ]
 
 __version__ = "0.1.0"
