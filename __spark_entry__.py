@@ -625,6 +625,57 @@ def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction (reference NetAddrInfo, typic/types/url.py:
+    104-166 properties over NET_ADDR_PATTERN url.py:49-80) as a
+    known-answer contract query: deterministic URL strings of five shapes
+    (absolute with auth+port+params, default-port domain, internal IPv4,
+    relative, invalid) are synthesized per event, parsed with the
+    single-regex-pass kernel, and the oracle recomputes every component
+    and derived predicate directly in SQL."""
+    from typical_spark.functions.net import (
+        parse_url,
+        url_base,
+        url_is_absolute,
+        url_is_internal,
+    )
+    from typical_spark.operators.dedup import _ensure_parallelism
+
+    ev = _ensure_parallelism(load_table(spark, sf_dir, "events"))
+    m = F.col("event_id") % 5
+    s7 = (F.col("event_id") % 7).cast("string")
+    s3 = (F.col("event_id") % 3).cast("string")
+    a = (F.col("event_id") % 256).cast("string")
+    b = (F.col("event_id") % 100).cast("string")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://user:pw@site"), s7,
+            F.lit(".example.com:8443/a/b;k=v?x="), s3, F.lit("#sec")))
+        .when(m == 1, F.concat(F.lit("http://example"), s7, F.lit(".com/p/q")))
+        .when(m == 2, F.concat(
+            F.lit("http://192.168."), a, F.lit("."), b, F.lit("/x?y=2")))
+        .when(m == 3, F.lit("/rel/path;a=b?q=1#top"))
+        .otherwise(F.concat(F.lit("not a url "), F.col("event_id").cast("string")))
+    )
+    u = parse_url(url)
+    return ev.select(
+        "event_id",
+        u.isNotNull().alias("is_valid"),
+        u["scheme"].alias("scheme"),
+        u["auth"].alias("auth"),
+        u["host"].alias("host"),
+        u["port"].alias("port"),
+        u["path"].alias("path"),
+        u["params"].alias("params"),
+        u["qs"].alias("qs"),
+        u["fragment"].alias("fragment"),
+        u["is_ip"].alias("is_ip"),
+        url_is_absolute(u).alias("absolute"),
+        url_is_internal(u).alias("internal"),
+        url_base(u).alias("base"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -666,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_ks": q_events_value_ks,
         "documents_curated": q_documents_curated,
         "documents_top_tokens": q_documents_top_tokens,
+        "events_urls": q_events_urls,
     }
 
 
@@ -1224,8 +1276,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM agg
             ),
             tot AS (
-                SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
-                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b
+                SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
                 FROM v
             )
             SELECT n_a, n_b,
@@ -1313,5 +1365,52 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE prev_ts IS NOT NULL AND ts IS NOT NULL
               AND ts < prev_ts AND event_id - prev_id > 0
+        """,
+        "events_urls": """
+            -- known-answer oracle for the URL parse-to-struct kernel:
+            -- every component/predicate recomputed from the same
+            -- deterministic five-shape synthesis (see q_events_urls)
+            WITH u AS (
+                SELECT event_id, event_id % 5 AS m,
+                       CAST(event_id % 7 AS VARCHAR) AS s7,
+                       CAST(event_id % 3 AS VARCHAR) AS s3,
+                       CAST(event_id % 256 AS VARCHAR) AS a,
+                       CAST(event_id % 100 AS VARCHAR) AS b
+                FROM events
+            )
+            SELECT event_id,
+                   coalesce(m IN (0, 1, 2, 3), FALSE) AS is_valid,
+                   CASE WHEN m = 0 THEN 'https' WHEN m IN (1, 2) THEN 'http'
+                        WHEN m = 3 THEN '' END AS scheme,
+                   CASE WHEN m = 0 THEN 'user:pw'
+                        WHEN m IN (1, 2, 3) THEN '' END AS auth,
+                   CASE WHEN m = 0 THEN 'site' || s7 || '.example.com'
+                        WHEN m = 1 THEN 'example' || s7 || '.com'
+                        WHEN m = 2 THEN '192.168.' || a || '.' || b
+                        WHEN m = 3 THEN '' END AS host,
+                   CASE WHEN m = 0 THEN 8443 WHEN m IN (1, 2) THEN 80
+                        WHEN m = 3 THEN 0 END AS port,
+                   CASE WHEN m = 0 THEN '/a/b' WHEN m = 1 THEN '/p/q'
+                        WHEN m = 2 THEN '/x'
+                        WHEN m = 3 THEN '/rel/path' END AS path,
+                   CASE WHEN m = 0 THEN 'k=v' WHEN m = 3 THEN 'a=b'
+                        WHEN m IN (1, 2) THEN '' END AS params,
+                   CASE WHEN m = 0 THEN 'x=' || s3 WHEN m = 2 THEN 'y=2'
+                        WHEN m = 3 THEN 'q=1' WHEN m = 1 THEN '' END AS qs,
+                   CASE WHEN m = 0 THEN 'sec' WHEN m = 3 THEN 'top'
+                        WHEN m IN (1, 2) THEN '' END AS fragment,
+                   CASE WHEN m IN (0, 1, 3) THEN FALSE
+                        WHEN m = 2 THEN TRUE END AS is_ip,
+                   CASE WHEN m IN (0, 1, 2) THEN TRUE
+                        WHEN m = 3 THEN FALSE END AS absolute,
+                   CASE WHEN m IN (0, 1, 3) THEN FALSE
+                        WHEN m = 2 THEN TRUE END AS internal,
+                   CASE WHEN m = 0
+                             THEN 'https://user:pw@site' || s7
+                                  || '.example.com:8443'
+                        WHEN m = 1 THEN 'http://example' || s7 || '.com'
+                        WHEN m = 2 THEN 'http://192.168.' || a || '.' || b
+                        WHEN m = 3 THEN '' END AS base
+            FROM u
         """,
     }

@@ -5,7 +5,8 @@
         --input  <parquet dir | iceberg://cat.db.transcripts> \
         --conversations <parquet dir | iceberg://...> \
         --out    <output dir | iceberg://cat.db> \
-        --run-id nightly-2025-01-01 [--resume] [--salt-buckets 32]
+        --run-id nightly-2025-01-01 [--resume] [--salt-buckets 32] \
+        [--spec spec.json] [--mode coerce|strict]
 
 Runs the full check suite (row-level fused pass + uniqueness + ordering +
 referential + column stats + t-digest drift) with per-bucket checkpoints
@@ -34,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--bucket-col", default="bucket")
     ap.add_argument("--checkpointed", action="store_true",
                     help="per-bucket checkpointed mode (resumable)")
+    ap.add_argument("--spec", default=None,
+                    help="JSON TableSpec file (spec_io format); default: "
+                         "the built-in transcript spec")
+    ap.add_argument("--mode", default="coerce", choices=("coerce", "strict"))
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("typical-spark-validate")\
@@ -44,9 +49,11 @@ def main(argv=None) -> int:
     from typical_spark.compiler import compile_table_spec
     from typical_spark.pipeline import full_validation, validation_summary
     from typical_spark.sources.tables import write_output
+    from typical_spark.spec_io import spec_from_json_file
     from typical_spark.specs import transcript_spec
 
-    plan = compile_table_spec(transcript_spec())
+    spec = spec_from_json_file(args.spec) if args.spec else transcript_spec()
+    plan = compile_table_spec(spec, mode=args.mode)
     tdf = spark.read.parquet(args.input) if not args.input.startswith("iceberg://") \
         else spark.read.format("iceberg").load(args.input[len("iceberg://"):])
     cdf = None

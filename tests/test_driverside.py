@@ -89,6 +89,21 @@ def test_load_env_settings(spark):
         load_env_settings(SPEC, prefix="APP_", environ={}, spark=spark)
 
 
+def test_load_env_settings_uncoerced_numeric_field(spark):
+    """Env vars are always strings: a field WITHOUT a declared coercion
+    strategy must still parse (defaulted to try_cast) rather than fail
+    createDataFrame with a TypeError, and an unparseable value must
+    surface as a `coerce` violation."""
+    spec = TableSpec(
+        name="plain", key_columns=("port",),
+        fields=(FieldSpec("port", "long", checks=(NumberCheck(ge=1),)),),
+    )
+    got = load_env_settings(spec, environ={"PORT": "8080"}, spark=spark)
+    assert got == {"port": 8080}
+    with pytest.raises(TransmuteError, match="coerce"):
+        load_env_settings(spec, environ={"PORT": "not-a-port"}, spark=spark)
+
+
 def test_from_rows_map_and_utf8_sources(spark):
     """Strategy-typed inputs: 'map' coercion takes a real mapping and
     'utf8' takes bytes (not their string reprs)."""

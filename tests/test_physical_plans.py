@@ -130,6 +130,21 @@ def test_minhash_signature_agg_is_codegen(spark):
     assert "SortAggregate" not in p and "ObjectHashAggregate" not in p
 
 
+def test_exact_collapse_uses_partial_min_agg(spark):
+    """_exact_group_reps must compute reps via groupBy().min() — a
+    map-side partial HashAggregate pair around the exchange — plus an
+    equi-join back, never a per-key Window sort (which would put the
+    whole largest exact-dup group into a single task's sort)."""
+    from typical_spark.operators.dedup import _exact_group_reps
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    reps = _exact_group_reps(docs, "doc_id", F.sha2(F.col("text"), 256))
+    p = _plan_str(reps)
+    assert "Window" not in p, "collapse regressed to a per-key window sort"
+    assert p.count("HashAggregate") >= 2, "no partial+final min agg pair"
+    assert "min(_id" in p, f"expected min(_id) aggregate in plan:\n{p}"
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed by the join key must SortMergeJoin without any
     Exchange — the co-located-join storage contract (Iceberg bucket(N)

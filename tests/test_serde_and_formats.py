@@ -85,6 +85,11 @@ def test_string_formats(spark, fmt, good, bad):
         ("-PT1M1S", -61.0),
         ("PT1.5S", 1.5),
         ("P2D", 172800.0),
+        ("P2W", 1209600.0),     # weeks are exact: 604800 s each
+        ("P1W2DT3H", 788400.0), # pendulum-style combined weeks
+        ("-P1W", -604800.0),
+        ("P1Y", None),          # year/month have no fixed second length
+        ("P1M", None),
         ("PT0S", 0.0),
         ("pt30s", 30.0),        # case-insensitive like the serializer's P..S
         ("P", None),            # bare designator: invalid

@@ -72,6 +72,33 @@ def test_spec_json_roundtrip_exact():
     assert spec_to_json(back) == spec_to_json(KITCHEN_SINK)  # stable
 
 
+def test_validate_job_accepts_spec_file(spark, transcripts_df, tmp_path):
+    """The cluster entrypoint's --spec flag: a JSON spec file must drive
+    the job and produce output identical to the equivalent built-in spec
+    (the reference's declarative-config story, typic/api.py:112 — the
+    spec is data, not code)."""
+    from jobs.validate_transcripts import main
+    from typical_spark.spec_io import spec_to_json
+    from typical_spark.specs import transcript_spec
+
+    inp = str(tmp_path / "in")
+    transcripts_df.limit(500).write.parquet(inp)
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(spec_to_json(transcript_spec()))
+
+    out_default = str(tmp_path / "out_default")
+    out_spec = str(tmp_path / "out_spec")
+    assert main(["--input", inp, "--out", out_default, "--run-id", "t"]) == 0
+    assert main(["--input", inp, "--out", out_spec, "--run-id", "t",
+                 "--spec", str(spec_path)]) == 0
+
+    a = spark.read.parquet(f"{out_default}/violations")
+    b = spark.read.parquet(f"{out_spec}/violations")
+    assert a.schema == b.schema
+    key = lambda rows: sorted(tuple(map(str, r)) for r in rows)  # noqa: E731
+    assert key(a.collect()) == key(b.collect()) and a.count() > 0
+
+
 def test_reloaded_spec_compiles_identically(spark):
     back = spec_from_json(spec_to_json(KITCHEN_SINK))
     df = spark.createDataFrame(

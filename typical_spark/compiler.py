@@ -507,5 +507,30 @@ def compile_table_spec(spec: TableSpec, mode: str = "coerce") -> "ValidationPlan
             transforms[fs.name] = val
         for chk in fs.checks:
             compiled.extend(compile_check(fs, chk, val))
+    # secret fields: star-mask the observed value in every violation row
+    # (SecretStr repr contract, reference typic/types/secret.py:35-90 —
+    # '*' * len(value)); the check conditions still see the real value,
+    # only the diagnostics channel is redacted. Masking HERE (not in the
+    # plan's message formatter) guarantees every consumer of the compiled
+    # checks — violations, annotate, verdicts, streaming — inherits it.
+    secret_cols = {fs.name for fs in spec.fields if fs.secret}
+    if secret_cols:
+        from dataclasses import replace as _dc_replace
+
+        compiled = [
+            _dc_replace(
+                cc,
+                observed=F.when(
+                    F.col(cc.column).isNotNull(),
+                    F.repeat(
+                        F.lit("*"),
+                        F.length(F.col(cc.column).cast("string")),
+                    ),
+                ),
+            )
+            if cc.column in secret_cols
+            else cc
+            for cc in compiled
+        ]
     return ValidationPlan(spec=spec, checks=tuple(compiled),
                           coercions=coercions, transforms=transforms)

@@ -155,8 +155,24 @@ def load_env_settings(
     `{PREFIX}{NAME}` (upper-cased) from the environment, coerces it per
     the field's declaration, validates, and returns a plain dict.
     Missing vars fall back to NULL (a NotNullCheck on the field makes
-    them mandatory). Raises TransmuteError on any violation."""
+    them mandatory). Raises TransmuteError on any violation.
+
+    Every environment value arrives as a STRING, so fields that declare
+    no coercion strategy are defaulted to a plain try_cast parse
+    (coerce_from='cast') — otherwise createDataFrame would reject the
+    string against the declared Spark type with a TypeError instead of
+    surfacing a proper `coerce` violation (reference typic/env.py
+    transmutes every var through the field's deserializer the same way)."""
+    from dataclasses import replace
+
     env = os.environ if environ is None else environ
+    spec = replace(
+        spec,
+        fields=tuple(
+            fs if fs.coerce_from is not None else replace(fs, coerce_from="cast")
+            for fs in spec.fields
+        ),
+    )
     raw = {
         fs.name: env.get(f"{prefix}{fs.name}".upper())
         for fs in spec.fields

@@ -83,13 +83,21 @@ def parse_primitive(col: Column) -> Column:
     )
 
 
-# ISO-8601 duration "P[nD][T[nH][nM][n[.f]S]]" -> total seconds (double).
-# The deserialize half of A33 (reference des.py:253-261 parses durations
-# via pendulum; serializer twin: serde.iso_duration_from_seconds). An
-# optional leading '-' negates the whole duration, matching the
-# serializer's output for negative timedeltas. Anything that doesn't
-# match the grammar (or is an empty "P"/"PT") -> NULL.
-_ISO_DUR_RE = r"^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+# ISO-8601 duration "P[nW][nD][T[nH][nM][n[.f]S]]" -> total seconds
+# (double). The deserialize half of A33 (reference des.py:253-261 parses
+# durations via pendulum; serializer twin: serde.iso_duration_from_seconds).
+# An optional leading '-' negates the whole duration, matching the
+# serializer's output for negative timedeltas. Weeks are exact (604800 s)
+# and — matching pendulum's permissive reading rather than strict
+# ISO-8601, which makes PnW exclusive — may combine with the other
+# designators. Year/month designators stay rejected: they have no fixed
+# second length, and the reference's timedelta carrier cannot represent
+# them either. Anything else that doesn't match the grammar (or is an
+# empty "P"/"PT") -> NULL.
+_ISO_DUR_RE = (
+    r"^P(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
 
 
 def iso_duration_seconds(col: Column) -> Column:
@@ -99,15 +107,16 @@ def iso_duration_seconds(col: Column) -> Column:
     # at least one component must be present (bare "P"/"PT" is invalid)
     ok = b.rlike(_ISO_DUR_RE) & b.rlike(r"\d")
     # ONE capture pass: rewrite the (anchored, so single) match to
-    # "D,H,M,S" and split — 2 regex evaluations per row instead of the 5
-    # that one rlike + four regexp_extract(group=i) calls would cost
+    # "W,D,H,M,S" and split — 2 regex evaluations per row instead of the
+    # 6 that one rlike + five regexp_extract(group=i) calls would cost
     # (Catalyst does not share regex work across expressions).
-    packed = F.split(F.regexp_replace(b, _ISO_DUR_RE, "$1,$2,$3,$4"), ",")
+    packed = F.split(F.regexp_replace(b, _ISO_DUR_RE, "$1,$2,$3,$4,$5"), ",")
     part = lambda i: F.coalesce(  # noqa: E731
         F.element_at(packed, i).try_cast("double"), F.lit(0.0)
     )
     total = (
-        part(1) * 86400.0 + part(2) * 3600.0 + part(3) * 60.0 + part(4)
+        part(1) * 604800.0 + part(2) * 86400.0 + part(3) * 3600.0
+        + part(4) * 60.0 + part(5)
     )
     return F.when(ok, sign * total).otherwise(F.lit(None).cast("double"))
 

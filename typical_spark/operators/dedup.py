@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from typical_spark.functions.text_analysis import normalize_text, word_shingles
@@ -80,15 +80,21 @@ def _exact_group_reps(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     of times). Collapsing each exact group to one representative before
     banding makes the candidate volume O(k): (rep, member) star pairs
     carry the group, and only reps enter the bucket self-join. The
-    shuffle here is narrow (id + 16-byte hash), one window pass."""
+    shuffle here is narrow (id + hash key).
+
+    Skew-safety: the rep per key comes from groupBy().min() — map-side
+    partial combine, so a 10M-copy boilerplate group reduces to one row
+    per map task before the shuffle — and the join back is an equi-join
+    AQE can skew-split, never a single-task window sort. NULL keys are
+    routed around the shuffle entirely (each is its own rep), so a
+    NULL-heavy corpus cannot create a hot NULL partition."""
     keyed = df.select(F.col(id_col).alias("_id"), key.alias("_ek"))
-    w = Window.partitionBy("_ek")
-    return keyed.select(
-        "_id",
-        F.when(F.col("_ek").isNull(), F.col("_id"))
-        .otherwise(F.min("_id").over(w))
-        .alias("_rep"),
+    nn = keyed.where(F.col("_ek").isNotNull())
+    reps = nn.groupBy("_ek").agg(F.min("_id").alias("_rep"))
+    nulls = keyed.where(F.col("_ek").isNull()).select(
+        "_id", F.col("_id").alias("_rep")
     )
+    return nn.join(reps, "_ek").select("_id", "_rep").unionByName(nulls)
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +162,7 @@ def minhash_near_duplicates(
     star = None
     if collapse_exact:
         groups = _exact_group_reps(
-            df, id_col, F.md5(normalize_text(F.col(text_col)))
+            df, id_col, F.sha2(normalize_text(F.col(text_col)), 256)
         )
         star = (
             groups.where(F.col("_id") != F.col("_rep"))
@@ -371,7 +377,7 @@ def simhash_near_duplicates(
     star = None
     if collapse_exact:
         groups = _exact_group_reps(
-            df, id_col, F.md5(normalize_text(F.col(text_col)))
+            df, id_col, F.sha2(normalize_text(F.col(text_col)), 256)
         )
         star = groups.where(F.col("_id") != F.col("_rep")).select(
             F.col("_rep").alias("id_a"),

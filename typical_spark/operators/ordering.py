@@ -185,35 +185,85 @@ def ordering_violations_skew_safe(
         if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
     ]
 
+    out_cols = [*cols, "kind", "pid", "check_id", "observed", "expected"]
+
     def part(it):
+        # Vectorized adjacent-pair checks: each batch is compared against
+        # its shift(1) (the previous batch's last row is prepended so the
+        # batch-boundary pair is covered); per-row Python runs only over
+        # the (sparse) violation subset when formatting messages.
+        import numpy as np
+
         pid = TaskContext.get().partitionId()
-        carry = None
+        carry = None  # one-row DataFrame: last row of the previous batch
         first = None
-        rows: list[dict] = []
         for pdf in it:
             for c in int_cols:
                 if pdf[c].dtype.kind == "f":
                     pdf[c] = pdf[c].astype("Int64")
-            for rec in pdf.to_dict("records"):
-                rec = _clean(rec)
-                if first is None:
-                    first = rec
-                if carry is not None:
-                    for cid, obs, exp in check_pair(carry, rec):
-                        rows.append({
-                            **{c: rec[c] for c in cols}, "kind": "v",
-                            "pid": pid, "check_id": cid,
-                            "observed": obs, "expected": exp,
-                        })
-                carry = rec
-        for kind, rec in (("first", first), ("last", carry)):
+            if len(pdf) == 0:
+                continue
+            if first is None:
+                first = _clean(pdf.iloc[0].to_dict())
+            work = pdf if carry is None else pd.concat(
+                [carry, pdf], ignore_index=True
+            )
+            prev = work.shift(1)
+            # shift() widens native int64 to float64 (NaN in row 0); restore
+            # nullable ints so str formatting stays '3', not '3.0'
+            for c in int_cols:
+                if prev[c].dtype.kind == "f":
+                    prev[c] = prev[c].astype("Int64")
+            same = pd.Series(True, index=work.index)
+            for g in gc:
+                same &= (work[g] == prev[g]) | (
+                    work[g].isna() & prev[g].isna()
+                )
+            po, co = prev[order_col], work[order_col]
+            valid = same & po.notna() & co.notna()
+            d = co - po
+
+            chunks = []
+
+            def emit(cond, cid, obs_fn, exp_fn):
+                mask = np.asarray(
+                    pd.Series(valid & cond).fillna(False), bool
+                )
+                if not mask.any():
+                    return
+                sub = work.loc[mask, cols].copy()
+                sub["kind"] = "v"
+                sub["pid"] = pid
+                sub["check_id"] = cid
+                sub["observed"] = np.asarray(obs_fn(mask), object)
+                sub["expected"] = np.asarray(exp_fn(mask), object)
+                chunks.append(sub)
+
+            emit(d == 0, "order_duplicate",
+                 lambda m: co[m].astype(str),
+                 lambda m: "!= prev " + po[m].astype(str))
+            if require_contiguous:
+                emit(d > 1, "order_gap",
+                     lambda m: co[m].astype(str),
+                     lambda m: "prev + 1 = " + (po[m] + 1).astype(str))
+            if ts_col and require_ts_monotonic:
+                pt, ct = prev[ts_col], work[ts_col]
+                emit(pt.notna() & ct.notna() & (ct < pt) & (d > 0),
+                     "ts_out_of_order",
+                     lambda m: ct[m].map(_fmt_ts),
+                     lambda m: ">= prev ts " + pt[m].map(_fmt_ts))
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)[out_cols]
+            carry = work.iloc[[-1]]
+        rows = []
+        last = _clean(carry.iloc[0].to_dict()) if carry is not None else None
+        for kind, rec in (("first", first), ("last", last)):
             if rec is not None:
                 rows.append({
                     **{c: rec[c] for c in cols}, "kind": kind, "pid": pid,
                     "check_id": None, "observed": None, "expected": None,
                 })
-        yield pd.DataFrame(rows, columns=[*cols, "kind", "pid",
-                                          "check_id", "observed", "expected"])
+        yield pd.DataFrame(rows, columns=out_cols)
 
     # localCheckpoint (eager), NOT persist(): the two downstream reads
     # share the materialized blocks, and the ContextCleaner reclaims them

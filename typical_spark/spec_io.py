@@ -90,6 +90,7 @@ def spec_to_dict(spec: S.TableSpec) -> dict:
                 "dtype": fs.dtype,
                 "nullable": fs.nullable,
                 "coerce_from": fs.coerce_from,
+                "secret": fs.secret,
                 "checks": [check_to_dict(c) for c in fs.checks],
             }
             for fs in spec.fields
@@ -107,6 +108,7 @@ def spec_from_dict(d: dict) -> S.TableSpec:
                 dtype=f.get("dtype", "string"),
                 nullable=f.get("nullable", True),
                 coerce_from=f.get("coerce_from"),
+                secret=f.get("secret", False),
                 checks=tuple(check_from_dict(c) for c in f.get("checks", ())),
             )
             for f in d.get("fields", ())
@@ -120,3 +122,12 @@ def spec_to_json(spec: S.TableSpec, **kw) -> str:
 
 def spec_from_json(s: str) -> S.TableSpec:
     return spec_from_dict(json.loads(s))
+
+
+def spec_from_json_file(path: str) -> S.TableSpec:
+    """Load a TableSpec from a JSON file — the cluster-job entry for
+    config-file-driven validation (jobs/*.py --spec), the distributed
+    analog of the reference resolving a user-supplied annotation at the
+    call site (typic/api.py:112)."""
+    with open(path, encoding="utf-8") as fh:
+        return spec_from_json(fh.read())

@@ -375,6 +375,12 @@ class FieldSpec:
     # source is non-null but the coercion yields null get a `coerce` violation
     # (the distributed transmute-failure, reference des.py + strict.py).
     coerce_from: str | None = None  # e.g. "string", "epoch", "json:<schema>"
+    # Secret field (reference SecretStr, typic/types/secret.py:35-90: repr
+    # masks with '*' * len, serialization still carries the value): the
+    # compiler star-masks this column in every violation row's
+    # observed/message text, so the raw value can never leak through the
+    # diagnostics channel. Checks still evaluate against the real value.
+    secret: bool = False
 
     def with_checks(self, *checks: Check) -> "FieldSpec":
         return replace(self, checks=self.checks + tuple(checks))
