@@ -676,6 +676,50 @@ def q_events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase->click attribution via the as-of join operator
+    (operators/asof.py): each purchase gets the most recent click by the
+    same user at-or-before its timestamp. The right side is deduped on
+    (user_id, ts) keep-max-id so the cross-engine oracle (DuckDB's
+    native ASOF LEFT JOIN) is exactly reproducible."""
+    from typical_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    clicks = (
+        ev.where((F.col("event_type") == "click") & base)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where((F.col("event_type") == "purchase") & base).select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = asof_join(purchases, clicks, by=["user_id"])
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("r_click_id").alias("click_id"),
+        # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The
+        # session timezone is pinned UTC (session.py), so the NTZ->TZ
+        # cast is offset-free and the difference is exact
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_ts").cast("timestamp"))
+        ).alias("us_since_click"),
+    )
+
+
+def q_documents_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (text_analysis.tfidf_top_terms) — keyword extraction over the shared
+    corpus tokenization, ranked on the rounded score for cross-engine
+    determinism."""
+    from typical_spark.functions.text_analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -718,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_curated": q_documents_curated,
         "documents_top_tokens": q_documents_top_tokens,
         "events_urls": q_events_urls,
+        "events_asof_attribution": q_events_asof_attribution,
+        "documents_tfidf": q_documents_tfidf,
     }
 
 
@@ -1365,6 +1411,57 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE prev_ts IS NOT NULL AND ts IS NOT NULL
               AND ts < prev_ts AND event_id - prev_id > 0
+        """,
+        "documents_tfidf": """
+            -- smoothed TF-IDF (idf = ln((1+N)/(1+df)) + 1), same
+            -- tokenization as documents_top_tokens; rank on the ROUNDED
+            -- score so both engines cut the same top-3
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                    '\\s+', ' ', 'g')), ' ')) AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (
+                SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE t <> '' GROUP BY doc_id, t
+            ),
+            dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+            scored AS (
+                SELECT tf.doc_id, tf.t AS token, tf.tf, dfq.df,
+                       round(tf.tf * (ln((1.0 + n_docs) / (1.0 + dfq.df)) + 1),
+                             4) AS score
+                FROM tf JOIN dfq USING (t) CROSS JOIN n
+            )
+            SELECT doc_id, token, tf, df, score, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        "events_asof_attribution": """
+            -- DuckDB's native ASOF LEFT JOIN is the oracle for the
+            -- union-sort-window as-of operator; right side deduped on
+            -- (user_id, ts) because DuckDB picks an arbitrary duplicate
+            WITH clicks AS (
+                SELECT user_id, ts, max(event_id) AS click_id
+                FROM events
+                WHERE event_type = 'click'
+                  AND ts IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY user_id, ts
+            ),
+            purchases AS (
+                SELECT user_id, ts, event_id AS purchase_id
+                FROM events
+                WHERE event_type = 'purchase'
+                  AND ts IS NOT NULL AND user_id IS NOT NULL
+            )
+            SELECT p.purchase_id, p.user_id, c.click_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS us_since_click
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "events_urls": """
             -- known-answer oracle for the URL parse-to-struct kernel:

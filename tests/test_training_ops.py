@@ -497,3 +497,34 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_id[1]) == 3  # capped at max_frames
     assert 2 not in by_id      # NULL payload contributes no frames
     assert all(len(bytes(r["frame"])) == 1024 for r in by_id[1])
+
+
+def test_tfidf_top_terms_known_values(spark):
+    """Hand-computed smoothed TF-IDF on a 3-doc corpus, including a
+    rounded-score tie broken by token order (d2: banana == cherry)."""
+    import math
+
+    from typical_spark.functions.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("d1", "Apple banana APPLE"), ("d2", "banana cherry"),
+         ("d3", "cherry durian cherry"), ("d4", None)],
+        "doc_id string, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): r
+        for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    }
+    idf_unique = math.log(4 / 2) + 1      # df=1 terms (apple, durian)
+    idf_shared = math.log(4 / 3) + 1      # df=2 terms (banana, cherry)
+    assert got[("d1", 1)]["token"] == "apple"
+    assert got[("d1", 1)]["score"] == round(2 * idf_unique, 4)
+    assert got[("d1", 2)]["token"] == "banana"
+    # d2: equal rounded scores -> token asc tie-break
+    assert got[("d2", 1)]["token"] == "banana"
+    assert got[("d2", 2)]["token"] == "cherry"
+    assert got[("d2", 1)]["score"] == got[("d2", 2)]["score"] == round(idf_shared, 4)
+    assert got[("d3", 1)]["token"] == "cherry"
+    assert got[("d3", 1)]["tf"] == 2 and got[("d3", 1)]["df"] == 2
+    assert ("d4", 1) not in got           # NULL text contributes nothing
+    assert len(got) == 6

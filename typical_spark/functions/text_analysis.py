@@ -281,3 +281,71 @@ def redact_pii(col: Column) -> Column:
     for name, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus-level term weighting
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn convention: idf = ln((1+N)/(1+df)) + 1) over the corpus
+    tokenization shared with the vocabulary stats (normalize_text +
+    whitespace split, empty tokens dropped).
+
+    No reference analog (typical has no corpus statistics) — this is
+    training-data-pipeline surface: keyword extraction / topic drift /
+    boilerplate spotting all start from per-doc characteristic terms.
+
+    Scale shape: two hash-aggregation shuffles (doc-term counts, then
+    document frequency over the already-unique (doc, term) rows — both
+    map-side combined), one scalar count job for N, one equi-join of tf
+    with the vocab-sized idf table (AQE broadcasts it when small), and a
+    per-document window bounded by each document's distinct-term count.
+    Nothing is quadratic in corpus size; the doc-term table is
+    localCheckpoint'd once and shared by the N-count and the join.
+
+    Determinism: ranking orders by the 4-dp-ROUNDED score then token, so
+    the emitted top-k is reproducible bit-for-bit across engines (raw
+    double ordering could flip mathematically-tied scores computed via
+    different ln() code paths).
+
+    Output: (id_col, token, tf, df, score, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
+        )
+        .where(F.col("_t") != "")
+    )
+    tf = (
+        toks.groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    n_docs = tf.select(id_col).distinct().count()
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "_t").select(
+        F.col(id_col),
+        F.col("_t").alias("token"),
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
