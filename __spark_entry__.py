@@ -634,7 +634,7 @@ def q_events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-regex-pass kernel, and the oracle recomputes every component
     and derived predicate directly in SQL."""
     from typical_spark.functions.net import (
-        parse_url,
+        attach_parsed_url,
         url_base,
         url_is_absolute,
         url_is_internal,
@@ -657,8 +657,12 @@ def q_events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 3, F.lit("/rel/path;a=b?q=1#top"))
         .otherwise(F.concat(F.lit("not a url "), F.col("event_id").cast("string")))
     )
-    u = parse_url(url)
-    return ev.select(
+    # parse once per row behind the Generate barrier: 14 component reads
+    # of an inline parse_url(url) would otherwise duplicate the whole
+    # two-regex tree per column (see attach_parsed_url docstring)
+    parsed = attach_parsed_url(ev.select("event_id"), url, alias="_u")
+    u = F.col("_u")
+    return parsed.select(
         "event_id",
         u.isNotNull().alias("is_valid"),
         u["scheme"].alias("scheme"),
