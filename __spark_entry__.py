@@ -724,6 +724,93 @@ def q_documents_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
+def q_events_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match windowed attribution via the bucketized interval
+    join (operators/interval.py): EVERY purchase x click pair where the
+    purchase falls inside [click_ts, click_ts + 1h] for the same user —
+    the all-matches complement of events_asof_attribution's most-recent
+    match. Oracle is the plain inequality join (safe at oracle scale;
+    the engine's bucketization exists precisely because that spelling
+    blows up on hot keys)."""
+    from typical_spark.operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    clicks = ev.where((F.col("event_type") == "click") & base).select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where((F.col("event_type") == "purchase") & base).select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = interval_join(
+        purchases, clicks, by=["user_id"],
+        point_ts="ts", start_ts="start", end_ts="end", bucket_seconds=3600,
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("r_click_id").alias("click_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_start").cast("timestamp"))
+        ).alias("us_after_click"),
+    )
+
+
+def q_documents_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (operators/packing.py): which
+    budget-2048 training sequences each document's tokens land in,
+    per hash shard — one window cumsum, reproduced exactly in SQL."""
+    from typical_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", budget=2048, n_shards=8)
+
+
+def q_events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between view/error value
+    distributions (drift.psi_drift): equal-width bins over the
+    reference extent, epsilon-smoothed — the binned complement of the
+    exact-KS and t-digest drift paths."""
+    from typical_spark.operators.drift import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    out = psi_drift(ev, "value", "event_type", "view", "error", n_bins=10)
+    # double-round on BOTH sides (6dp in the operator, 4dp here and in
+    # the oracle) keeps the cross-engine hash stable despite libm ln()
+    return out.select("n_ref", "n_cur", F.round("psi", 4).alias("psi"))
+
+
+def q_events_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding (operators/runs.py): runs
+    of >=3 consecutive same-type events per user ordered by (ts,
+    event_id) — the bot-burst / repeated-tool-call detector."""
+    from typical_spark.operators.runs import value_runs
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_runs(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", min_run_len=3
+    )
+
+
+def q_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling (sampling.stratified_sample):
+    keep 25% of en and 50% of zh documents, everything else whole —
+    deterministic hash-rank selection, the training-mixture rebalance
+    primitive. Fractions are picked binary-exact (0.25/0.5) so the
+    ceil() cut cannot float-drift across engines."""
+    from typical_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_fraction=1.0
+    )
+    return s.select("doc_id", "lang", "stratum_n", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -768,6 +855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_urls": q_events_urls,
         "events_asof_attribution": q_events_asof_attribution,
         "documents_tfidf": q_documents_tfidf,
+        "events_click_windows": q_events_click_windows,
+        "documents_packing": q_documents_packing,
+        "events_value_psi": q_events_value_psi,
+        "events_runs": q_events_runs,
+        "documents_stratified": q_documents_stratified,
     }
 
 
@@ -1466,6 +1558,131 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(p.ts) - epoch_us(c.ts) AS us_since_click
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "events_click_windows": """
+            -- plain inequality join is the oracle for the bucketized
+            -- interval join (the engine bucketizes to avoid exactly
+            -- this spelling's hot-key blowup)
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   c.event_id AS click_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS us_after_click
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND p.ts IS NOT NULL AND c.ts IS NOT NULL
+              AND p.user_id IS NOT NULL
+        """,
+        "documents_packing": """
+            -- concat-and-split packing: identical shard hash, identical
+            -- (sort_hash, id) order, one window cumsum; the 32-bit sort
+            -- mask keeps signed/unsigned hash views order-identical
+            WITH base AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS tokens,
+                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':42')
+                            & 7 AS INT) AS shard,
+                       md5_number_lower(CAST(doc_id AS VARCHAR) || ':43')
+                            & 4294967295 AS sh
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            c AS (
+                SELECT doc_id, tokens, shard,
+                       CAST(sum(tokens) OVER (
+                           PARTITION BY shard ORDER BY sh, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM base
+            )
+            SELECT doc_id, tokens, shard, cum - tokens AS "offset",
+                   CAST(floor((cum - tokens) / 2048.0) AS BIGINT) AS first_seq,
+                   CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS last_seq,
+                   CAST(floor((cum - 1) / 2048.0)
+                        - floor((cum - tokens) / 2048.0) + 1 AS INT) AS n_seqs
+            FROM c
+        """,
+        "events_value_psi": """
+            -- PSI with equal-width bins over the reference extent;
+            -- binning arithmetic spelled in the engine's exact order
+            -- ((v-lo)/width, width=(hi-lo)/10); double-rounded 6dp->4dp
+            -- on both sides to absorb libm ln() differences
+            WITH vals AS (
+                SELECT CAST(value AS DOUBLE) AS v,
+                       event_type = 'view' AS is_ref
+                FROM events
+                WHERE event_type IN ('view', 'error') AND value IS NOT NULL
+            ),
+            ext AS (SELECT min(v) AS lo, max(v) AS hi FROM vals WHERE is_ref),
+            binned AS (
+                SELECT greatest(0, least(9,
+                           CASE WHEN (hi - lo) / 10 > 0
+                                THEN CAST(floor((v - lo) / ((hi - lo) / 10))
+                                          AS BIGINT)
+                                ELSE 0 END)) AS bin,
+                       is_ref
+                FROM vals CROSS JOIN ext
+            ),
+            counts AS (
+                SELECT bin,
+                       CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+                       CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+                FROM binned GROUP BY bin
+            ),
+            tot AS (
+                SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                       CAST(sum(c_cur) AS BIGINT) AS n_cur
+                FROM counts
+            )
+            SELECT n_ref, n_cur,
+                   round(round(sum(
+                       (c_cur / CAST(n_cur AS DOUBLE) + 1e-6
+                        - c_ref / CAST(n_ref AS DOUBLE) - 1e-6)
+                       * ln((c_cur / CAST(n_cur AS DOUBLE) + 1e-6)
+                            / (c_ref / CAST(n_ref AS DOUBLE) + 1e-6))
+                   ), 6), 4) AS psi
+            FROM counts CROSS JOIN tot
+            GROUP BY n_ref, n_cur
+        """,
+        "events_runs": """
+            -- two-row_number gaps-and-islands, the textbook spelling
+            WITH base AS (
+                SELECT user_id, event_type, ts, event_id FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL AND event_id IS NOT NULL
+            ),
+            rn AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                     - row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS run
+                FROM base
+            )
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS run_len,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM rn GROUP BY user_id, event_type, run
+            HAVING count(*) >= 3
+        """,
+        "documents_stratified": """
+            -- exact-count stratified sample: same 62-bit-masked hash
+            -- rank (signed/unsigned order-identical), same binary-exact
+            -- fractions, same ceil() cut
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                           AS stratum_n,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_lower(
+                               CAST(doc_id AS VARCHAR) || ':42')
+                               & 4611686018427387903,
+                               doc_id) AS BIGINT) AS rank
+                FROM documents WHERE lang IS NOT NULL
+            )
+            SELECT doc_id, lang, stratum_n, rank FROM ranked
+            WHERE rank <= ceil(
+                (CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5
+                      ELSE 1.0 END) * stratum_n)
         """,
         "events_urls": """
             -- known-answer oracle for the URL parse-to-struct kernel:

@@ -1,0 +1,261 @@
+"""Unit tests for the round-3 relational additions: bucketized interval
+join, concat-and-split sequence packing, PSI drift, gaps-and-islands
+runs, and exact-count stratified sampling. Each also has a DuckDB
+oracle in __spark_entry__.py; these tests pin hand-computed semantics
+and the edge cases the oracle data may not exercise."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from typical_spark.operators.drift import psi_drift
+from typical_spark.operators.interval import interval_join
+from typical_spark.operators.packing import pack_sequences
+from typical_spark.operators.runs import value_runs
+from typical_spark.operators.sampling import stratified_sample
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "k string, ts double, pid int")
+
+
+def _ivals(spark, rows):
+    return spark.createDataFrame(rows, "k string, start double, end double, iid int")
+
+
+def test_interval_join_multi_match_and_bucket_crossing(spark):
+    """A point inside two overlapping intervals matches both; an
+    interval spanning several buckets still catches a point in its
+    last bucket (the explode replication is what makes that work)."""
+    pts = _points(spark, [("a", 5000.0, 1), ("a", 100.0, 2), ("b", 50.0, 3)])
+    ivs = _ivals(spark, [
+        ("a", 0.0, 10000.0, 10),     # spans buckets 0..2 at W=3600
+        ("a", 4000.0, 6000.0, 11),   # also contains ts=5000
+        ("a", 200.0, 300.0, 12),     # contains neither point
+        ("b", 0.0, 60.0, 13),
+    ])
+    got = {
+        (r["pid"], r["r_iid"])
+        for r in interval_join(
+            pts, ivs, by=["k"], point_ts="ts",
+            start_ts="start", end_ts="end", bucket_seconds=3600,
+        ).collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 10), (3, 13)}
+
+
+def test_interval_join_null_and_empty_intervals(spark):
+    pts = _points(spark, [("a", 5.0, 1), (None, 5.0, 2), ("a", None, 3)])
+    ivs = _ivals(spark, [
+        ("a", 10.0, 1.0, 20),   # end < start: empty, dropped
+        ("a", 1.0, 9.0, 21),
+        (None, 1.0, 9.0, 22),   # NULL key never matches
+        ("a", None, 9.0, 23),   # NULL bound never matches
+    ])
+    got = [
+        (r["pid"], r["r_iid"])
+        for r in interval_join(
+            pts, ivs, by=["k"], point_ts="ts",
+            start_ts="start", end_ts="end", bucket_seconds=10,
+        ).collect()
+    ]
+    assert got == [(1, 21)]
+
+
+def test_interval_join_guard_on_pathological_interval(spark):
+    pts = _points(spark, [("a", 5.0, 1)])
+    ivs = _ivals(spark, [("a", 0.0, 1e9, 30)])
+    with pytest.raises(Exception, match="interval_join"):
+        interval_join(
+            pts, ivs, by=["k"], point_ts="ts", start_ts="start",
+            end_ts="end", bucket_seconds=10, max_interval_buckets=100,
+        ).collect()
+
+
+def test_interval_join_timestamp_columns_both_ansi_modes(spark):
+    """Timestamp inputs must bucket without a timestamp->double cast
+    (illegal under ANSI)."""
+    pts = spark.createDataFrame(
+        [("a", "2024-01-01 00:30:00", 1)], "k string, ts string, pid int"
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "pid")
+    ivs = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00", 9)],
+        "k string, start string, end string, iid int",
+    ).select(
+        "k",
+        F.col("start").cast("timestamp_ntz").alias("start"),
+        F.col("end").cast("timestamp_ntz").alias("end"),
+        "iid",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            got = interval_join(
+                pts, ivs, by=["k"], point_ts="ts",
+                start_ts="start", end_ts="end", bucket_seconds=3600,
+            ).collect()
+            assert [(r["pid"], r["r_iid"]) for r in got] == [(1, 9)]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_spans_and_offsets(spark):
+    """One shard, tiny budget: offsets are the running concat position
+    and a doc straddling a cut point spans both sequences."""
+    docs = spark.createDataFrame(
+        [(i, 30) for i in range(10)] + [(99, 0), (100, None)],
+        "doc_id long, tok int",
+    )
+    out = pack_sequences(
+        docs, "doc_id", "tok", budget=100, n_shards=1
+    ).collect()
+    assert len(out) == 10            # zero/NULL-token docs dropped
+    by_off = sorted(out, key=lambda r: r["offset"])
+    assert [r["offset"] for r in by_off] == [30 * i for i in range(10)]
+    for r in by_off:
+        assert r["first_seq"] == r["offset"] // 100
+        assert r["last_seq"] == (r["offset"] + 29) // 100
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+    # cuts fall at 100 and 200; the docs at offsets 90 and 180 straddle
+    # them ([90,119], [180,209]) — exactly two two-sequence spans
+    assert sum(r["n_seqs"] == 2 for r in by_off) == 2
+
+
+def test_pack_sequences_deterministic_and_sharded(spark):
+    docs = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(500)], "doc_id long, tok int"
+    )
+    a = pack_sequences(docs, "doc_id", "tok", budget=64, n_shards=8)
+    b = pack_sequences(docs, "doc_id", "tok", budget=64, n_shards=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    shards = {r["shard"] for r in a.select("shard").distinct().collect()}
+    assert shards <= set(range(8)) and len(shards) > 1
+    # per shard, offsets tile the concatenated stream with no gaps
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in a.collect():
+        per[r["shard"]].append((r["offset"], r["tokens"]))
+    for rows in per.values():
+        pos = 0
+        for off, tok in sorted(rows):
+            assert off == pos
+            pos += tok
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+
+def _psi_df(spark, ref_vals, cur_vals):
+    rows = [("r", float(v)) for v in ref_vals] + [("c", float(v)) for v in cur_vals]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    vals = [i % 50 for i in range(1000)]
+    out = psi_drift(_psi_df(spark, vals, vals), "v", "g", "r", "c").collect()[0]
+    assert out["n_ref"] == out["n_cur"] == 1000
+    assert abs(out["psi"]) < 1e-9
+
+
+def test_psi_shifted_distribution_is_large(spark):
+    ref = [i % 50 for i in range(1000)]
+    cur = [40 + i % 50 for i in range(1000)]  # mass shifted right
+    out = psi_drift(_psi_df(spark, ref, cur), "v", "g", "r", "c").collect()[0]
+    assert out["psi"] > 0.25  # standard "drifted" threshold
+
+
+def test_psi_hand_computed_two_bins(spark):
+    """ref 50/50 across [0,1], cur 25/75 -> exact closed form."""
+    ref = [0.0] * 50 + [1.0] * 50
+    cur = [0.0] * 25 + [1.0] * 75
+    out = psi_drift(
+        _psi_df(spark, ref, cur), "v", "g", "r", "c", n_bins=2, epsilon=0.0
+    ).collect()[0]
+    expect = (0.25 - 0.5) * math.log(0.25 / 0.5) + (0.75 - 0.5) * math.log(
+        0.75 / 0.5
+    )
+    assert abs(out["psi"] - expect) < 1e-6  # JVM vs CPython libm ulp slack
+
+
+def test_psi_degenerate_reference_single_value(spark):
+    out = psi_drift(
+        _psi_df(spark, [5.0] * 10, [5.0] * 7 + [9.0] * 3), "v", "g", "r", "c"
+    ).collect()[0]
+    # width=0: everything clamps into bin 0 -> no detectable drift,
+    # but it must not divide by zero or error
+    assert out["n_ref"] == 10 and out["n_cur"] == 10
+    assert abs(out["psi"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# value_runs
+# ---------------------------------------------------------------------------
+
+
+def test_value_runs_hand_fixture(spark):
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "a"), ("u1", 3, "a"),   # run a x3
+        ("u1", 4, "b"),                                     # run b x1
+        ("u1", 5, "a"), ("u1", 6, "a"),                     # run a x2
+        ("u2", 1, "a"), ("u2", 2, "a"),                     # run a x2
+        ("u2", 3, None),                                    # NULL excluded
+        (None, 4, "a"),                                     # NULL key excluded
+    ]
+    df = spark.createDataFrame(rows, "u string, i int, v string")
+    got = sorted(
+        (r["u"], r["v"], r["run_len"], r["start_i"], r["end_i"])
+        for r in value_runs(df, ["u"], ["i"], "v").collect()
+    )
+    assert got == [
+        ("u1", "a", 2, 5, 6),
+        ("u1", "a", 3, 1, 3),
+        ("u1", "b", 1, 4, 4),
+        ("u2", "a", 2, 1, 2),
+    ]
+    long_only = value_runs(df, ["u"], ["i"], "v", min_run_len=3).collect()
+    assert [(r["u"], r["run_len"]) for r in long_only] == [("u1", 3)]
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_sample(df, "id", "lang", {"en": 0.25}, default_fraction=1.0)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"en": 25, "de": 100}  # ceil(0.25*100)=25, de kept whole
+    again = stratified_sample(df, "id", "lang", {"en": 0.25}, default_fraction=1.0)
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+def test_stratified_sample_zero_fraction_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, None)], "id long, lang string"
+    )
+    out = stratified_sample(df, "id", "lang", {"en": 0.0}, default_fraction=1.0)
+    assert [r["id"] for r in out.collect()] == [2]  # en dropped, NULL stratum excluded
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(df, "id", "lang", {"en": 1.5})

@@ -243,3 +243,67 @@ def ks_two_sample(
         )
         .select("n_a", "n_b", F.round("ks_stat", 6).alias("ks_stat"))
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_ref: str,
+    group_cur: str,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution: equal-width bins over the REFERENCE group's exact
+    [min, max] (min/max are exact aggregates, so — unlike quantile
+    edges, whose interpolation differs across engines — both sides of
+    a cross-engine comparison bin identically), per-bin proportions
+    epsilon-smoothed, PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref).
+    The standard monitoring thresholds read: <0.1 stable, 0.1-0.25
+    shifting, >0.25 drifted.
+
+    Scale shape: one pass computes the reference extent (tiny result,
+    broadcast), one pass bins and counts (map-side-combined groupBy on
+    n_bins*2 cells), and the PSI fold runs over n_bins rows. Values
+    outside the reference extent clamp into the edge bins, so novel
+    out-of-range mass is counted (as edge-bin drift), never dropped.
+
+    Output: one row (n_ref, n_cur, psi)."""
+    vals = df.where(
+        F.col(group_col).isin([group_ref, group_cur])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("_v"),
+        (F.col(group_col) == group_ref).alias("_is_ref"),
+    )
+    ext = vals.where("_is_ref").groupBy().agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi")
+    )
+    b = F.lit(int(n_bins))
+    width = (F.col("hi") - F.col("lo")) / b
+    # degenerate reference (all one value): everything lands in bin 0
+    raw = F.when(
+        width > 0, F.floor((F.col("_v") - F.col("lo")) / width)
+    ).otherwise(F.lit(0))
+    bin_ = F.greatest(F.lit(0), F.least(b - 1, raw)).alias("bin")
+    counts = (
+        vals.crossJoin(F.broadcast(ext))
+        .groupBy(bin_)
+        .agg(
+            F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("_is_ref"), 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    eps = F.lit(float(epsilon))
+    totals = counts.groupBy().agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p_ref = F.col("c_ref") / F.col("n_ref") + eps
+    p_cur = F.col("c_cur") / F.col("n_cur") + eps
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .groupBy("n_ref", "n_cur")
+        .agg(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi"))
+        .select("n_ref", "n_cur", F.round("psi", 6).alias("psi"))
+    )

@@ -1,0 +1,76 @@
+"""Run-length encoding over ordered groups (gaps-and-islands).
+
+No reference analog (typical has no ordered-sequence surface) — this is
+the relational pattern behind bot detection (a user firing the same
+event 50x in a row), transcript loop detection (an agent repeating the
+same tool call), and boilerplate run collapsing: collapse consecutive
+equal values within an ordered group into one row per run.
+
+Spark-first plan — the classic two-row_number difference trick, no
+iteration and no per-row Python:
+
+    rn_all  = row_number over (key             order by order)
+    rn_val  = row_number over (key, run_value  order by order)
+    run_id  = rn_all - rn_val      (constant within a run, per value)
+    group by (key, run_value, run_id) -> one row per run
+
+Both windows hash-partition on the key, and AQE coalesces the two
+shuffles into one exchange reuse when the partitioning matches (the
+second window adds the value to the PARTITION clause but Spark keeps
+the sort-based window pipeline local after the first shuffle). The
+aggregation is map-side combined. One ordered sort per key group —
+the same cost envelope as any per-key window check in ordering.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_runs(
+    df: DataFrame,
+    by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    min_run_len: int = 1,
+) -> DataFrame:
+    """One row per maximal run of consecutive equal `value_col` values
+    within each `by` group ordered by `order_by` (which must be a total
+    order within the group for deterministic run boundaries — include a
+    unique tiebreaker column). Rows with a NULL key, NULL order, or
+    NULL value are excluded (NULL never equals NULL, so they cannot
+    extend a run).
+
+    Output: (*by, value_col, run_len, start_<first order col>,
+    end_<first order col>) filtered to run_len >= min_run_len."""
+    keys = list(by)
+    order = list(order_by)
+    not_null = F.lit(True)
+    for c in (*keys, *order, value_col):
+        not_null = not_null & F.col(c).isNotNull()
+    base = df.where(not_null)
+    ord_cols = [F.col(c).asc() for c in order]
+    rn_all = F.row_number().over(Window.partitionBy(*keys).orderBy(*ord_cols))
+    rn_val = F.row_number().over(
+        Window.partitionBy(*keys, value_col).orderBy(*ord_cols)
+    )
+    anchor = order[0]
+    return (
+        base.select(
+            *keys,
+            value_col,
+            F.col(anchor),
+            (rn_all - rn_val).alias("_run"),
+        )
+        .groupBy(*keys, value_col, "_run")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.min(anchor).alias(f"start_{anchor}"),
+            F.max(anchor).alias(f"end_{anchor}"),
+        )
+        .where(F.col("run_len") >= min_run_len)
+        .drop("_run")
+    )

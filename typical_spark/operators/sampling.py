@@ -95,3 +95,56 @@ def hash_sample(
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     cut = int(round(fraction * n_buckets))
     return df.where(hash_bucket(F.col(id_col), seed, n_buckets) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT-count stratified sampling: from each stratum keep exactly
+    ceil(fraction * stratum_size) rows, chosen by hash rank — the
+    deterministic lift of `df.sampleBy()` (which is Bernoulli: its
+    per-stratum counts vary run to run and its selection depends on
+    partition layout). Training-mixture rebalancing ("keep 100% of
+    code, 30% of web") needs the exact-count, audit-reproducible form.
+
+    Plan: one window count + one row_number per stratum, ordered by
+    (md5-hash, id) so the chosen subset is a uniform, engine-checkable
+    function of the ids alone. The rank window sorts each stratum in
+    one task — exact selection is inherently an ordered cut, so this is
+    the bounded-strata exact twin; at pathological stratum sizes use
+    hash_sample per stratum instead (hash-threshold, approximate count,
+    no sort) — the same exact/sketch pairing as ks_two_sample vs
+    drift_report.
+
+    Unlisted strata get default_fraction. fraction=1.0 keeps the whole
+    stratum, 0.0 drops it. Output: input columns + (stratum_n, rank).
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} not in [0,1]: {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction not in [0,1]: {default_fraction}")
+    from pyspark.sql import Window
+
+    frac_col = F.lit(float(default_fraction))
+    for name, frac in sorted(fractions.items()):
+        frac_col = F.when(
+            F.col(stratum_col) == name, F.lit(float(frac))
+        ).otherwise(frac_col)
+    # 62-bit mask: the full 64-bit hash ORDERS differently under
+    # Spark's signed vs DuckDB's unsigned view; low 62 bits are
+    # non-negative in both, so the rank order is engine-identical
+    h = hash_bucket(F.col(id_col), seed=seed, n_buckets=1 << 62)
+    w = Window.partitionBy(stratum_col)
+    w_rank = w.orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.where(F.col(stratum_col).isNotNull())
+        .withColumn("stratum_n", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= F.ceil(frac_col * F.col("stratum_n")))
+    )
