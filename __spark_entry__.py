@@ -724,6 +724,16 @@ def q_documents_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
+def q_documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k bigram LM quality score per document
+    (text_analysis.bigram_logprob_score) — the CCNet-style perplexity
+    filter over the shared corpus tokenization."""
+    from typical_spark.functions.text_analysis import bigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, "doc_id", "text", k=0.5)
+
+
 def q_events_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-match windowed attribution via the bucketized interval
     join (operators/interval.py): EVERY purchase x click pair where the
@@ -855,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_urls": q_events_urls,
         "events_asof_attribution": q_events_asof_attribution,
         "documents_tfidf": q_documents_tfidf,
+        "documents_lm_score": q_documents_lm_score,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1558,6 +1569,46 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(p.ts) - epoch_us(c.ts) AS us_since_click
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "documents_lm_score": """
+            -- add-k bigram LM: same tokenization, context counts folded
+            -- from bigram counts, V over the full filtered stream;
+            -- double-rounded (6dp->4dp) before AND after exp so both
+            -- engines exponentiate identical inputs
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM d WHERE len(toks) >= 2
+            ),
+            bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+            cb AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                FROM bg GROUP BY w1, w2
+            ),
+            cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY w1),
+            v AS (
+                SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+                FROM (SELECT unnest(toks) AS w FROM d)
+            ),
+            sc AS (
+                SELECT bg.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(round(avg(ln(
+                           (cb.cb + 0.5) / (cu.cw + 0.5 * vocab))), 6), 4)
+                           AS avg_logprob
+                FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+                GROUP BY bg.doc_id
+            )
+            SELECT doc_id, n_bigrams, avg_logprob,
+                   round(round(exp(-avg_logprob), 6), 4) AS ppl
+            FROM sc
         """,
         "events_click_windows": """
             -- plain inequality join is the oracle for the bucketized

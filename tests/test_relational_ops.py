@@ -259,3 +259,34 @@ def test_stratified_sample_zero_fraction_and_validation(spark):
     assert [r["id"] for r in out.collect()] == [2]  # en dropped, NULL stratum excluded
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(df, "id", "lang", {"en": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob_score
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus: 'a b a b' + 'a b c'; V=3, context counts folded
+    from bigram counts, add-0.5 smoothing; short/NULL docs absent."""
+    from typical_spark.functions.text_analysis import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_logprob_score(docs, "doc_id", "text", k=0.5).collect()}
+    # bigrams: d1 -> ab, ba, ab ; d2 -> ab, bc
+    # cb: ab=3, ba=1, bc=1 ; cw: a.=3+1? no — contexts: a->b 3x so
+    # cw(a)=3; b->a 1 and b->c 1 so cw(b)=2. V=4 (a,b,c,solo).
+    def lp(cb, cw):
+        return math.log((cb + 0.5) / (cw + 0.5 * 4))
+
+    d1 = (2 * lp(3, 3) + lp(1, 2)) / 3
+    d2 = (lp(3, 3) + lp(1, 2)) / 2
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert abs(out[1]["avg_logprob"] - d1) < 1e-4
+    assert abs(out[2]["avg_logprob"] - d2) < 1e-4
+    assert abs(out[1]["ppl"] - math.exp(-out[1]["avg_logprob"])) < 1e-4
+    assert 3 not in out and 4 not in out

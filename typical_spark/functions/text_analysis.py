@@ -349,3 +349,79 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "score", "rank")
     )
+
+
+def bigram_logprob_score(df, id_col: str, text_col: str, k: float = 0.5):
+    """Per-document add-k-smoothed bigram language-model score — the
+    CCNet/Gopher-style LM quality filter: documents whose token
+    transitions are unlike the corpus (gibberish, boilerplate soup,
+    wrong-language fragments) get low average log-probability / high
+    perplexity.
+
+    Model: P(w2|w1) = (c(w1,w2) + k) / (c(w1.) + k*V), context counts
+    c(w1.) folded from the bigram counts themselves (one less corpus
+    scan) and V = distinct token count of the filtered stream. Score =
+    mean log P over the document's bigrams; ppl = exp(-score).
+
+    No reference analog — training-data-pipeline surface. Scale shape:
+    tokens never leave the JVM (HOF split/filter); bigram counting is
+    one map-side-combined groupBy; context counts fold the (already
+    distinct) bigram table; scoring joins each document's bigrams to
+    the count tables on (w1,w2) — AQE broadcasts small vocabularies
+    and skew-splits hot bigrams. At open-web scale, train the counts
+    on a hash_sample of the corpus (standard CCNet practice) and score
+    the full corpus with the same joins; counts grow with distinct
+    bigrams, not corpus size. Documents with <2 tokens produce no
+    bigrams and are absent from the output (no defined score).
+
+    Determinism: avg log-prob is double-rounded (6dp then 4dp) before
+    ppl = exp(-avg) is computed FROM THE ROUNDED value and rounded the
+    same way, so both engines exponentiate identical inputs.
+
+    Output: (id_col, n_bigrams, avg_logprob, ppl).
+    """
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_t"))
+        .localCheckpoint()
+    )
+    # sequence(1, n-1) DESCENDS when n-1 < 1 — guard short docs to an
+    # empty pair list (explode then drops them)
+    pairs = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w1"),
+                F.element_at("_t", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = base.select(
+        F.col(id_col), F.explode(pairs).alias("_bg")
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    cnt_b = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cnt_u = cnt_b.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = base.select(F.explode("_t").alias("w")).distinct().count()
+    kk = F.lit(float(k))
+    logp = F.log(
+        (F.col("cb") + kk) / (F.col("cw") + kk * F.lit(float(vocab)))
+    )
+    scored = (
+        bg.join(cnt_b, ["w1", "w2"])
+        .join(cnt_u, ["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.round(F.avg(logp), 6), 4).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.round(F.exp(-F.col("avg_logprob")), 6), 4).alias("ppl"),
+    )
