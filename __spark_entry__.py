@@ -734,6 +734,30 @@ def q_documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(docs, "doc_id", "text", k=0.5)
 
 
+def q_documents_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-mixture pipeline end-to-end: bigram-LM quality gate
+    (drop gibberish-scoring docs) -> exact-count stratified rebalance
+    (halve the dominant en stratum) -> concat-and-split sequence
+    packing. Each stage is individually oracle-verified
+    (documents_lm_score / documents_stratified / documents_packing);
+    this query pins their composition. The LM cut compares the
+    4dp-ROUNDED avg_logprob, so the kept set is engine-exact."""
+    from typical_spark.functions.text_analysis import bigram_logprob_score
+    from typical_spark.operators.packing import pack_sequences
+    from typical_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = bigram_logprob_score(docs, "doc_id", "text", k=0.5)
+    kept = docs.join(
+        lm.where(F.col("avg_logprob") >= -3.45).select("doc_id"), "doc_id"
+    )
+    bal = stratified_sample(
+        kept, "doc_id", "lang", {"en": 0.5}, default_fraction=1.0
+    )
+    packed = pack_sequences(bal, "doc_id", "n_chars", budget=2048, n_shards=4)
+    return packed.select("doc_id", "shard", "offset", "first_seq", "last_seq")
+
+
 def q_events_click_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-match windowed attribution via the bucketized interval
     join (operators/interval.py): EVERY purchase x click pair where the
@@ -866,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": q_events_asof_attribution,
         "documents_tfidf": q_documents_tfidf,
         "documents_lm_score": q_documents_lm_score,
+        "documents_mixture": q_documents_mixture,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1609,6 +1634,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, avg_logprob,
                    round(round(exp(-avg_logprob), 6), 4) AS ppl
             FROM sc
+        """,
+        "documents_mixture": """
+            -- composition of the three individually-verified stages:
+            -- LM gate (documents_lm_score CTEs) -> stratified rebalance
+            -- (documents_stratified spelling) -> packing
+            -- (documents_packing spelling), parameters inline
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM d WHERE len(toks) >= 2
+            ),
+            bgr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+            cb AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                FROM bgr GROUP BY w1, w2
+            ),
+            cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY w1),
+            v AS (
+                SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+                FROM (SELECT unnest(toks) AS w FROM d)
+            ),
+            sc AS (
+                SELECT bgr.doc_id,
+                       round(round(avg(ln(
+                           (cb.cb + 0.5) / (cu.cw + 0.5 * vocab))), 6), 4)
+                           AS avg_logprob
+                FROM bgr JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+                GROUP BY bgr.doc_id
+            ),
+            kept AS (
+                SELECT doc.* FROM documents doc
+                JOIN sc ON doc.doc_id = sc.doc_id
+                WHERE sc.avg_logprob >= -3.45
+            ),
+            ranked AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                           AS stratum_n,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_lower(
+                               CAST(doc_id AS VARCHAR) || ':42')
+                               & 4611686018427387903,
+                               doc_id) AS BIGINT) AS rank
+                FROM kept WHERE lang IS NOT NULL
+            ),
+            bal AS (
+                SELECT doc_id, n_chars FROM ranked
+                WHERE rank <= ceil(
+                    (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * stratum_n)
+            ),
+            pbase AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS tokens,
+                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':42')
+                            & 3 AS INT) AS shard,
+                       md5_number_lower(CAST(doc_id AS VARCHAR) || ':43')
+                            & 4294967295 AS sh
+                FROM bal WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            pc AS (
+                SELECT doc_id, tokens, shard,
+                       CAST(sum(tokens) OVER (
+                           PARTITION BY shard ORDER BY sh, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM pbase
+            )
+            SELECT doc_id, shard, cum - tokens AS "offset",
+                   CAST(floor((cum - tokens) / 2048.0) AS BIGINT) AS first_seq,
+                   CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS last_seq
+            FROM pc
         """,
         "events_click_windows": """
             -- plain inequality join is the oracle for the bucketized
