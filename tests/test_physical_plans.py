@@ -216,3 +216,28 @@ def test_parsed_url_computed_once_per_row(spark):
     # regexp_replace rewrite; per-component duplication would show 7+
     assert p.count("]*)://") <= 2, "URL grammar re-evaluated per component"
     assert out.count() == 100
+
+
+def test_interval_join_is_hash_join_not_nlj(spark):
+    """The bucketized interval join must compile to an equi hash/SMJ
+    join on (key, bucket) — NEVER BroadcastNestedLoopJoin, which is
+    what the naive range-predicate spelling degenerates to and what
+    blows up on hot keys at scale."""
+    from typical_spark.operators.interval import interval_join
+
+    pts = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 10.0).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    ivs = spark.range(200).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 50.0).alias("start"),
+        (F.col("id") * 50.0 + 100.0).alias("end"), F.col("id").alias("iid"),
+    )
+    out = interval_join(
+        pts, ivs, by=["k"], point_ts="ts", start_ts="start",
+        end_ts="end", bucket_seconds=100,
+    )
+    p = _plan_str(out)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert ("HashJoin" in p) or ("SortMergeJoin" in p)
+    assert out.count() > 0

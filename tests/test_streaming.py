@@ -150,3 +150,41 @@ def test_streaming_dedup_keep_first(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 200  # one survivor per key
     assert got.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+
+
+def test_foreach_batch_psi_drift_monitor(spark, stream_dir):
+    """The streaming drift-monitor pattern: per micro-batch, union the
+    arriving values (tagged current) with a static reference and reuse
+    the BATCH psi_drift operator unchanged — the foreachBatch payoff of
+    keeping drift expression-shaped. A micro-batch drawn from the same
+    distribution as the reference must read as stable (psi < 0.1)."""
+    from typical_spark.operators.drift import psi_drift
+
+    batch_df = spark.read.parquet(stream_dir)
+    ref = (
+        batch_df.where(F.col("turn_idx").isNotNull())
+        .select(F.col("turn_idx").cast("double").alias("v"))
+        .withColumn("g", F.lit("ref"))
+        .localCheckpoint()
+    )
+    stream = spark.readStream.schema(batch_df.schema).parquet(stream_dir)
+    psis = []
+
+    def per_batch(bdf, batch_id):
+        cur = (
+            bdf.where(F.col("turn_idx").isNotNull())
+            .select(F.col("turn_idx").cast("double").alias("v"))
+            .withColumn("g", F.lit("cur"))
+        )
+        row = psi_drift(ref.unionByName(cur), "v", "g", "ref", "cur").collect()
+        if row:
+            psis.append(row[0]["psi"])
+
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        q = streaming_verdicts(stream, per_batch, ckpt)
+        _drain(q)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert psis, "no micro-batch produced a PSI reading"
+    assert all(p < 0.1 for p in psis)  # same distribution -> stable
