@@ -35,7 +35,21 @@ def rows_to_multiset(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept bare names, comma lists, and an optional --only flag; an
+    # unknown name is a hard error — a typo'd filter must not report a
+    # vacuous FAILURES: 0
+    only = {
+        n
+        for a in sys.argv[2:]
+        if a != "--only"
+        for n in a.split(",")
+        if n
+    }
+    known = set(entrymod.queries())
+    unknown = only - known
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
