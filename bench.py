@@ -66,7 +66,7 @@ def _flagship(spark, n_turns: int, factor: int = 1) -> dict:
     repeats = int(os.environ.get("BENCH_REPEAT", "1"))
     walls = []
     counts = n_stats = n_digests = None
-    if repeats > 1:
+    if repeats > 1 or os.environ.get("BENCH_WARMUP") == "1":
         suite()  # warmup, untimed
     for _ in range(max(repeats, 1)):
         wall, counts, n_stats, n_digests = suite()
@@ -122,9 +122,24 @@ def main() -> None:
         # physical core — the honest analog of N->4N executors.
         lo = int(os.environ.get("SCALE_LOW", "2"))
         hi = int(os.environ.get("SCALE_HIGH", str(lo * 4)))
-        os.environ.setdefault("BENCH_REPEAT", "3")
-        r_lo = run_flagship_subprocess(lo, factor=SCALE_FACTOR)
-        r_hi = run_flagship_subprocess(hi, factor=SCALE_FACTOR)
+        # INTERLEAVED pairs, min per level: the hypervisor's ambient
+        # steal drifts on multi-minute timescales, so running all lo
+        # measurements then all hi measurements exposes the two levels
+        # to different conditions and the ratio absorbs the drift
+        # (observed spread on identical code: 0.67-0.81). Alternating
+        # lo/hi pairs gives both levels the same exposure; min-of-pairs
+        # approximates the undisturbed machine at each level.
+        pairs = int(os.environ.get("SCALE_PAIRS", "3"))
+        os.environ["BENCH_REPEAT"] = "1"
+        os.environ.setdefault("BENCH_WARMUP", "1")
+        lo_runs, hi_runs = [], []
+        for _ in range(pairs):
+            lo_runs.append(run_flagship_subprocess(lo, factor=SCALE_FACTOR))
+            hi_runs.append(run_flagship_subprocess(hi, factor=SCALE_FACTOR))
+        r_lo = max(lo_runs, key=lambda r: r["turns_per_sec"])
+        r_hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
+        r_lo = dict(r_lo, all_runs_sec=[round(r["sec"], 1) for r in lo_runs])
+        r_hi = dict(r_hi, all_runs_sec=[round(r["sec"], 1) for r in hi_runs])
         eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo)
         result = {
             "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
@@ -176,11 +191,13 @@ def main() -> None:
         df.collect()
         timings[name] = round(time.time() - t0, 3)
 
-    # warmup + min-of-2 for the headline number: this sandbox is a shared
-    # host with large wall-time variance (see BASELINE.md notes). The
-    # flagship runs on the materialized table (2M base x BENCH_FACTOR,
-    # default 16M turns) so fixed per-job costs don't dominate.
-    os.environ.setdefault("BENCH_REPEAT", "2")
+    # warmup + min-of-3 for the headline number: this sandbox is a shared
+    # host with large wall-time variance (round-3 datapoint: 31.6/23.5/
+    # 29.0 s for three back-to-back identical flagship runs — min-of-2
+    # can still land 1.7x off). The flagship runs on the materialized
+    # table (2M base x BENCH_FACTOR, default 16M turns) so fixed
+    # per-job costs don't dominate.
+    os.environ.setdefault("BENCH_REPEAT", "3")
     # factor 8 = the 16M-turn materialized table the --scaling runs also
     # use (already cached on disk): per-job fixed costs are ~amortized
     # there, so the headline reflects the engine, not JVM ramp (see

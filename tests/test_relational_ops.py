@@ -290,3 +290,77 @@ def test_bigram_logprob_hand_computed(spark):
     assert abs(out[2]["avg_logprob"] - d2) < 1e-4
     assert abs(out[1]["ppl"] - math.exp(-out[1]["avg_logprob"])) < 1e-4
     assert 3 not in out and 4 not in out
+
+
+# ---------------------------------------------------------------------------
+# randomized equivalence vs naive spellings (fixed seeds)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_equals_naive_range_join(spark):
+    """On random inputs the bucketized join must emit exactly the same
+    pair multiset as the naive range-predicate join it exists to
+    replace — across bucket widths that divide the data differently."""
+    import random
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [(str(rng.randint(0, 4)), float(rng.randint(0, 1000)), i)
+         for i in range(300)],
+        "k string, ts double, pid int",
+    )
+    ivs_rows = []
+    for j in range(120):
+        s = float(rng.randint(0, 1000))
+        ivs_rows.append((str(rng.randint(0, 4)), s, s + rng.randint(0, 200), j))
+    ivs = spark.createDataFrame(ivs_rows, "k string, start double, end double, iid int")
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pts.join(ivs, "k")
+        .where((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .collect()
+    }
+    for w in (7, 64, 1000):
+        got = {
+            (r["pid"], r["r_iid"])
+            for r in interval_join(
+                pts, ivs, by=["k"], point_ts="ts", start_ts="start",
+                end_ts="end", bucket_seconds=w,
+            ).collect()
+        }
+        assert got == naive, f"bucket width {w} diverged"
+
+
+def test_value_runs_equals_naive_rle(spark):
+    """Random sequences: operator output must equal a plain Python
+    run-length encoding of each key's ordered values."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (f"k{rng.randint(0, 3)}", i, str(rng.randint(0, 2)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v string")
+    got = sorted(
+        (r["k"], r["v"], r["run_len"], r["start_i"], r["end_i"])
+        for r in value_runs(df, ["k"], ["i"], "v").collect()
+    )
+    import collections
+
+    per = collections.defaultdict(list)
+    for k, i, v in sorted(rows):
+        per[k].append((i, v))
+    expect = []
+    for k, seq in per.items():
+        run = []
+        for i, v in seq:
+            if run and v == run[-1][1]:
+                run.append((i, v))
+            else:
+                if run:
+                    expect.append((k, run[0][1], len(run), run[0][0], run[-1][0]))
+                run = [(i, v)]
+        if run:
+            expect.append((k, run[0][1], len(run), run[0][0], run[-1][0]))
+    assert got == sorted(expect)
