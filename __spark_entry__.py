@@ -734,6 +734,45 @@ def q_documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(docs, "doc_id", "text", k=0.5)
 
 
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tumbling rollup (stats.time_rollup): per
+    (event_type, hour) counts and value sum/avg — one map-side-combined
+    groupBy whose partials re-aggregate exactly to coarser buckets."""
+    from typical_spark.operators.stats import time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    r = time_rollup(ev, "ts", by=["event_type"], value_col="value", unit="hour")
+    return r.select(
+        "event_type",
+        "bucket",
+        "n_rows",
+        F.round("value_sum", 4).alias("value_sum"),
+        F.round("value_avg", 4).alias("value_avg"),
+    )
+
+
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flags (stats.zscore_outliers):
+    two-pass group stats + join, no window — the monitoring twin of the
+    drift checks. The cut compares the ROUNDED |z| so both engines keep
+    the same boundary rows."""
+    from typical_spark.operators.stats import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    # threshold 0 here; the contract cut is on the rounded z below so
+    # the boundary is engine-exact
+    z = zscore_outliers(ev, "value", by=["event_type"], threshold=0.0)
+    return (
+        z.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("zscore", 4).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > 3.0)
+    )
+
+
 def q_documents_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-mixture pipeline end-to-end: bigram-LM quality gate
     (drop gibberish-scoring docs) -> exact-count stratified rebalance
@@ -891,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_tfidf": q_documents_tfidf,
         "documents_lm_score": q_documents_lm_score,
         "documents_mixture": q_documents_mixture,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_value_outliers": q_events_value_outliers,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1634,6 +1675,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, avg_logprob,
                    round(round(exp(-avg_logprob), 6), 4) AS ppl
             FROM sc
+        """,
+        "events_hourly_rollup": """
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(value), 4) AS value_sum,
+                   round(avg(value), 4) AS value_avg
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_value_outliers": """
+            -- two-pass z-score; the cut compares the ROUNDED |z| so
+            -- boundary rows are engine-exact
+            WITH stats AS (
+                SELECT event_type, avg(value) AS m, stddev_samp(value) AS s
+                FROM events WHERE value IS NOT NULL GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - m) / s, 4) AS zscore
+            FROM events e JOIN stats USING (event_type)
+            WHERE e.value IS NOT NULL AND s IS NOT NULL AND s > 0
+              AND abs(round((e.value - m) / s, 4)) > 3.0
         """,
         "documents_mixture": """
             -- composition of the three individually-verified stages:

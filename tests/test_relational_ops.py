@@ -364,3 +364,50 @@ def test_value_runs_equals_naive_rle(spark):
         if run:
             expect.append((k, run[0][1], len(run), run[0][0], run[-1][0]))
     assert got == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# time_rollup / zscore_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_time_rollup_reaggregates_exactly(spark):
+    """Hour partials must roll up to the day rollup by summing — the
+    hypertable reaggregation property (coarsen without re-scanning)."""
+    from typical_spark.operators.stats import time_rollup
+
+    rows = [
+        ("a", f"2024-03-0{1 + i % 2} {i % 24:02d}:17:00", float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v"
+    )
+    hourly = time_rollup(df, "ts", by=["k"], value_col="v", unit="hour")
+    daily = time_rollup(df, "ts", by=["k"], value_col="v", unit="day")
+    re_daily = (
+        hourly.groupBy("k", F.date_trunc("day", "bucket").alias("bucket"))
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("value_sum").alias("value_sum"),
+        )
+    )
+    a = {(r["k"], r["bucket"]): (r["n_rows"], round(r["value_sum"], 6))
+         for r in daily.collect()}
+    b = {(r["k"], r["bucket"]): (r["n_rows"], round(r["value_sum"], 6))
+         for r in re_daily.collect()}
+    assert a == b and len(a) == 2
+    with pytest.raises(ValueError, match="unit"):
+        time_rollup(df, "ts", unit="fortnight")
+
+
+def test_zscore_outliers_flags_planted_spike(spark):
+    from typical_spark.operators.stats import zscore_outliers
+
+    rows = [("g1", float(v), i) for i, v in enumerate([10.0] * 50 + [11.0] * 49 + [500.0])]
+    rows += [("g2", 7.0, 1000), ("g2", 7.0, 1001)]        # stddev 0 group
+    rows += [("g3", None, 2000), ("g3", 1.0, 2001)]       # singleton after NULL
+    df = spark.createDataFrame(rows, "g string, v double, rid long")
+    out = zscore_outliers(df, "v", by=["g"], threshold=3.0).collect()
+    assert [(r["g"], r["rid"]) for r in out] == [("g1", 99)]
+    assert out[0]["zscore"] > 3.0

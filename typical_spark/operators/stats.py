@@ -117,3 +117,74 @@ def grouped_stats(
             F.stddev_samp(value_col).alias("stddev_value"),
         )
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    by: Sequence[str] = (),
+    value_col: str | None = None,
+    unit: str = "hour",
+) -> DataFrame:
+    """Tumbling time-bucket aggregation — the hypertable-rollup pattern:
+    counts (and value sum/avg when value_col is given) per
+    (keys..., date_trunc(unit, ts)). One map-side-combined groupBy;
+    the bucket is a pure expression so partition pruning applies when
+    the table is laid out by time. Reaggregation property: a coarser
+    rollup (hour -> day) recomputes EXACTLY from these partials by
+    summing n_rows/value_sum — roll up the rollup, never re-scan the
+    corpus (pinned by tests/test_relational_ops.py).
+
+    Output: (*by, bucket, n_rows[, value_sum, value_avg])."""
+    if unit not in ("minute", "hour", "day", "week", "month", "year"):
+        raise ValueError(f"unsupported unit {unit!r}")
+    keys = list(by)
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    base = df.where(F.col(ts_col).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        aggs += [
+            F.sum(F.col(value_col)).alias("value_sum"),
+            F.avg(F.col(value_col)).alias("value_avg"),
+        ]
+    return base.groupBy(*keys, bucket).agg(*aggs)
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value lies more than `threshold` sample standard
+    deviations from their group's mean — the monitoring/data-QA outlier
+    flag. Two-pass shape that scales: ONE map-side-combined aggregate
+    computes per-group (n, mean, stddev) — a group-count-sized table —
+    and an equi-join (AQE broadcasts it when small) flags rows; no
+    window, so no per-group sort and no hot-key task. Groups with
+    stddev 0/NULL (constant or singleton) flag nothing.
+
+    Output: input columns + (group_mean, group_stddev, zscore)."""
+    keys = list(by)
+    stats = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.avg(F.col(value_col)).alias("group_mean"),
+            F.stddev_samp(F.col(value_col)).alias("group_stddev"),
+        )
+    )
+    joined = df.where(F.col(value_col).isNotNull()).join(
+        stats, on=keys if keys else None, how="inner"
+    ) if keys else df.where(F.col(value_col).isNotNull()).crossJoin(
+        F.broadcast(stats)
+    )
+    z = (F.col(value_col) - F.col("group_mean")) / F.col("group_stddev")
+    return (
+        joined.withColumn("zscore", z)
+        .where(
+            F.col("group_stddev").isNotNull()
+            & (F.col("group_stddev") > 0)
+            & (F.abs(F.col("zscore")) > F.lit(float(threshold)))
+        )
+    )
