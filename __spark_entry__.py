@@ -734,6 +734,16 @@ def q_documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(docs, "doc_id", "text", k=0.5)
 
 
+def q_documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap (packing.chunk_spans): 512-char
+    windows advancing by stride 448 over each document's length —
+    metadata-only span computation, the RAG/pretraining chunker."""
+    from typical_spark.operators.packing import chunk_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_spans(docs, "doc_id", "n_chars", chunk_size=512, overlap=64)
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style tumbling rollup (stats.time_rollup): per
     (event_type, hour) counts and value sum/avg — one map-side-combined
@@ -930,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_tfidf": q_documents_tfidf,
         "documents_lm_score": q_documents_lm_score,
         "documents_mixture": q_documents_mixture,
+        "documents_chunks": q_documents_chunks,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_value_outliers": q_events_value_outliers,
         "events_click_windows": q_events_click_windows,
@@ -1675,6 +1686,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, avg_logprob,
                    round(round(exp(-avg_logprob), 6), 4) AS ppl
             FROM sc
+        """,
+        "documents_chunks": """
+            -- 512-char chunks, stride 448 (overlap 64), final partial
+            -- kept; ceil(max(len-overlap,1)/stride) chunks per doc
+            WITH d AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            c AS (
+                SELECT doc_id, len,
+                       unnest(generate_series(0,
+                           CAST(ceil(greatest(len - 64, 1) / 448.0)
+                                AS BIGINT) - 1)) AS chunk_idx
+                FROM d
+            )
+            SELECT doc_id, chunk_idx,
+                   chunk_idx * 448 AS start,
+                   least(chunk_idx * 448 + 512, len) AS "end",
+                   least(chunk_idx * 448 + 512, len) - chunk_idx * 448
+                       AS chunk_len
+            FROM c
         """,
         "events_hourly_rollup": """
             SELECT event_type, date_trunc('hour', ts) AS bucket,

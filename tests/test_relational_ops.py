@@ -411,3 +411,35 @@ def test_zscore_outliers_flags_planted_spike(spark):
     out = zscore_outliers(df, "v", by=["g"], threshold=3.0).collect()
     assert [(r["g"], r["rid"]) for r in out] == [("g1", 99)]
     assert out[0]["zscore"] > 3.0
+
+
+def test_chunk_spans_hand_computed(spark):
+    from typical_spark.operators.packing import chunk_spans
+
+    docs = spark.createDataFrame(
+        [(1, 1000), (2, 100), (3, 512), (4, 513), (5, 0), (6, None), (7, 40)],
+        "doc_id long, n_chars long",
+    )
+    got = {}
+    for r in chunk_spans(docs, "doc_id", "n_chars", 512, 64).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["end"], r["chunk_len"])
+        )
+    for v in got.values():
+        v.sort()
+    # L=1000: ceil(936/448)=3 chunks; last is the partial tail
+    assert got[1] == [(0, 0, 512, 512), (1, 448, 960, 512), (2, 896, 1000, 104)]
+    assert got[2] == [(0, 0, 100, 100)]        # shorter than one chunk
+    assert got[3] == [(0, 0, 512, 512)]        # exactly one chunk
+    # L=513: one extra char -> a second (overlap+1)-char chunk
+    assert got[4] == [(0, 0, 512, 512), (1, 448, 513, 65)]
+    assert got[7] == [(0, 0, 40, 40)]          # L <= overlap still chunks
+    assert 5 not in got and 6 not in got       # zero/NULL length dropped
+    # consecutive chunks overlap by exactly 64 chars
+    for spans in got.values():
+        for (_, s0, e0, _), (_, s1, _, _) in zip(spans, spans[1:]):
+            assert e0 - s1 == 64
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_spans(docs, "doc_id", "n_chars", 512, 512)

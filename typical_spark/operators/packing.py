@@ -85,3 +85,57 @@ def pack_sequences(
             "n_seqs", (F.col("last_seq") - F.col("first_seq") + 1).cast("int")
         )
     )
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    chunk_size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-size chunking with overlap — the RAG/pretraining chunker:
+    split each document's [0, length) span into windows of `chunk_size`
+    whose starts advance by the stride chunk_size - overlap, final
+    partial window kept. Metadata-only (like pack_sequences, spans are
+    computed from the length column without materializing text), so the
+    chunk table is explode(sequence(...)) over pure integer expressions
+    — fully parallel, no shuffle at all until something downstream
+    groups it.
+
+    A document of length L yields ceil(max(L - overlap, 1) / stride)
+    chunks; the last chunk ends at min(start + chunk_size, L). Zero/
+    NULL-length docs yield no chunks.
+
+    Output: (id_col, chunk_idx, start, end, chunk_len)."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap}"
+        )
+    stride = chunk_size - overlap
+    ln = F.col(length_col).cast("bigint")
+    n_chunks = F.ceil(
+        F.greatest(ln - F.lit(overlap), F.lit(1)) / F.lit(float(stride))
+    )
+    base = df.where(F.col(length_col).isNotNull() & (F.col(length_col) > 0))
+    start = F.col("chunk_idx") * F.lit(stride)
+    return (
+        base.select(
+            F.col(id_col),
+            ln.alias("_len"),
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            start.alias("start"),
+            F.least(start + F.lit(chunk_size), F.col("_len")).alias("end"),
+            (
+                F.least(start + F.lit(chunk_size), F.col("_len")) - start
+            ).cast("bigint").alias("chunk_len"),
+        )
+    )
