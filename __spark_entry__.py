@@ -734,6 +734,40 @@ def q_documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(docs, "doc_id", "text", k=0.5)
 
 
+def q_documents_cross_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) near-dup detection
+    (dedup.minhash_cross_duplicates): a synthetic 'daily crawl' —
+    lightly-mutated copies of every 7th document plus genuinely novel
+    docs — checked against the standing corpus. Oracle: exact all-pairs
+    Jaccard between the same two sides (valid for the same recall
+    reason as documents_minhash_pairs: pairs are bimodal around the
+    0.8 threshold)."""
+    from typical_spark.operators.dedup import minhash_cross_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    mutated = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" freshly crawled mirror copy")
+        ).alias("text"),
+    )
+    novel = docs.where(F.col("doc_id") % 7 == 4).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("novel document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" entirely fresh content stream alpha beta gamma delta"),
+        ).alias("text"),
+    )
+    out = minhash_cross_duplicates(
+        mutated.unionByName(novel), docs, "doc_id", "text",
+        jaccard_threshold=0.8,
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
 def q_documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size chunking with overlap (packing.chunk_spans): 512-char
     windows advancing by stride 448 over each document's length —
@@ -940,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_tfidf": q_documents_tfidf,
         "documents_lm_score": q_documents_lm_score,
         "documents_mixture": q_documents_mixture,
+        "documents_cross_dups": q_documents_cross_dups,
         "documents_chunks": q_documents_chunks,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_value_outliers": q_events_value_outliers,
@@ -1686,6 +1721,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, avg_logprob,
                    round(round(exp(-avg_logprob), 6), 4) AS ppl
             FROM sc
+        """,
+        "documents_cross_dups": """
+            -- exact all-pairs Jaccard between the synthetic crawl and
+            -- the corpus, same shingle spelling as the minhash oracle
+            WITH newb AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       text || ' freshly crawled mirror copy' AS text
+                FROM documents WHERE doc_id % 7 = 3
+                UNION ALL
+                SELECT doc_id + 2000000,
+                       'novel document ' || CAST(doc_id AS VARCHAR)
+                       || ' entirely fresh content stream alpha beta gamma delta'
+                FROM documents WHERE doc_id % 7 = 4
+            ),
+            nn AS (
+                SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+                FROM newb WHERE text IS NOT NULL
+            ),
+            cn AS (
+                SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+                FROM documents WHERE text IS NOT NULL
+            ),
+            shn AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, string_split(n, ' ') AS w FROM nn)
+            ),
+            shc AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, string_split(n, ' ') AS w FROM cn)
+            )
+            SELECT new_id, corpus_id, round(j, 4) AS jaccard_r
+            FROM (
+                SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                           AS j
+                FROM shn a, shc b
+            ) WHERE j >= 0.8
         """,
         "documents_chunks": """
             -- 512-char chunks, stride 448 (overlap 64), final partial

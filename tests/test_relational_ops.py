@@ -443,3 +443,29 @@ def test_chunk_spans_hand_computed(spark):
 
     with _pt.raises(ValueError, match="overlap"):
         chunk_spans(docs, "doc_id", "n_chars", 512, 512)
+
+
+def test_minhash_cross_duplicates_crawl_vs_corpus(spark):
+    from typical_spark.operators.dedup import minhash_cross_duplicates
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to hide from every hunter")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " with a tiny tail"), (3, "completely different "
+          "text about spark distributed joins and shuffle partitioning at scale")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base + " extra"),                       # near-dup of 1 (and 2)
+         (200, "utterly novel content nothing shared here at all today")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in minhash_cross_duplicates(
+            new, corpus, "doc_id", "text", jaccard_threshold=0.7
+        ).collect()
+    }
+    assert (100, 1) in got and got[(100, 1)] > 0.9
+    assert all(nid != 200 for nid, _ in got)           # novel matches nothing
+    assert all(cid != 3 for _, cid in got)             # distinct corpus doc untouched

@@ -569,3 +569,107 @@ def ngram_jaccard(
         )
     )
     return out.drop("sh_a", "sh_b")
+
+
+def minhash_cross_duplicates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-corpus near-duplicate detection: which NEW documents
+    near-duplicate an EXISTING corpus document — the incremental-growth
+    twin of `minhash_near_duplicates` (a daily crawl is checked against
+    the standing index; the self-join variant would wastefully re-pair
+    the corpus against itself).
+
+    Same machinery as the self-join path — seeded xxhash64 signature
+    family via codegen'd explode + min() aggregates, narrow
+    (id, band, bhash) banding rows, exact-Jaccard verify of candidates
+    — but the band join is new x corpus, so its cost is bounded by the
+    NEW batch's bucket occupancy: the corpus side contributes only
+    buckets the new batch actually touches (Catalyst drops the rest at
+    the join). In production the corpus's banding table is computed
+    once and persisted (it is a pure function of the text), so a daily
+    run shingles only the new batch. Exact-duplicate groups WITHIN the
+    corpus multiply matches k-fold by design (each copy is a real
+    match); dedup the corpus first if star-collapsed output is wanted.
+
+    Output: (new_id, corpus_id, jaccard) with jaccard >= threshold.
+    """
+    r = n_hashes // bands
+
+    def prep(df: DataFrame):
+        d = _ensure_parallelism(df)
+        sh = (
+            d.select(
+                F.col(id_col).alias("_id"),
+                word_shingles(F.col(text_col), shingle_words).alias("_sh"),
+            )
+            .where(F.size("_sh") > 0)
+            .persist()
+        )
+        hashed = sh.select(
+            "_id",
+            F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_h"),
+        )
+        sig = hashed.groupBy("_id").agg(
+            *[
+                F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+                for i in range(n_hashes)
+            ]
+        ).select(
+            "_id",
+            F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("_sig"),
+        )
+        banded = sig.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice("_sig", b * r + 1, r))
+                        ).alias("bhash"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("_id", "bb.band", "bb.bhash")
+        return sh, banded
+
+    sh_new, band_new = prep(new_df)
+    sh_cor, band_cor = prep(corpus_df)
+    cand = (
+        band_new.alias("n")
+        .join(
+            band_cor.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bhash") == F.col("c.bhash")),
+        )
+        .select(
+            F.col("n._id").alias("new_id"), F.col("c._id").alias("corpus_id")
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    shl = sh_new.select(F.col("_id").alias("new_id"), F.col("_sh").alias("sh_n"))
+    shr = sh_cor.select(
+        F.col("_id").alias("corpus_id"), F.col("_sh").alias("sh_c")
+    )
+    return (
+        cand.join(shl, "new_id")
+        .join(shr, "corpus_id")
+        .withColumn(
+            "jaccard",
+            (
+                F.size(F.array_intersect("sh_n", "sh_c"))
+                / F.size(F.array_union("sh_n", "sh_c"))
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+        .select("new_id", "corpus_id", "jaccard")
+    )
