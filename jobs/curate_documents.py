@@ -1,0 +1,140 @@
+"""Cluster entrypoint: curate a document corpus for training.
+
+    spark-submit --py-files typical_spark.zip \
+        jobs/curate_documents.py \
+        --input  <parquet dir | iceberg://cat.db.documents> \
+        --out    <output dir | iceberg://cat.db> \
+        [--id-col doc_id] [--text-col text] [--lang-col lang] \
+        [--jaccard 0.8] [--min-logprob -3.45] \
+        [--strata en=0.5,zh=1.0] [--default-fraction 1.0] \
+        [--budget 2048] [--n-shards 64] \
+        [--splits train=0.98,val=0.01,test=0.01]
+
+The standard curation pipeline, each stage an oracle-verified operator:
+
+    1. near-dup removal     keep-first survivors of minhash-LSH pairs
+                            (dedup.minhash_near_duplicates + survivors)
+    2. LM quality gate      drop documents below --min-logprob on the
+                            add-k bigram model (bigram_logprob_score)
+    3. mixture rebalance    exact-count stratified sampling per language
+                            (sampling.stratified_sample)
+    4. split assignment     deterministic hash split (sampling.hash_split)
+    5. sequence packing     concat-and-split spans (packing.pack_sequences)
+
+Outputs under --out: survivors/ (curated corpus + split + LM score) and
+packing/ (doc -> sequence spans for the train split). Each stage's
+row counts are printed as one JSON line for pipeline monitoring.
+
+All stages are deterministic functions of the ids/text, so re-running
+produces byte-identical curation decisions (audit/resume story); at
+open-web scale train the LM counts on a hash_sample and persist the
+corpus banding table between daily runs (see
+dedup.minhash_cross_duplicates for the incremental variant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _parse_weights(s: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in s.split(","):
+        if not part:
+            continue
+        name, _, w = part.partition("=")
+        out[name] = float(w)
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--min-logprob", type=float, default=None,
+                    help="drop docs with avg bigram logprob below this; "
+                         "omit to skip the LM gate")
+    ap.add_argument("--strata", default="",
+                    help="lang=frac[,lang=frac...] exact-count keep "
+                         "fractions; omit to skip rebalancing")
+    ap.add_argument("--default-fraction", type=float, default=1.0)
+    ap.add_argument("--splits", default="train=0.98,val=0.01,test=0.01")
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--length-col", default="n_chars",
+                    help="token/length column used for packing")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("typical-spark-curate")\
+        .config("spark.sql.ansi.enabled", "false")\
+        .getOrCreate()  # throughput knob only; engine is ANSI-safe
+
+    from typical_spark.functions.text_analysis import bigram_logprob_score
+    from typical_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dup_survivors,
+    )
+    from typical_spark.operators.packing import pack_sequences
+    from typical_spark.operators.sampling import hash_split, stratified_sample
+    from typical_spark.sources.tables import write_output
+
+    docs = spark.read.parquet(args.input) \
+        if not args.input.startswith("iceberg://") \
+        else spark.read.format("iceberg").load(args.input[len("iceberg://"):])
+    counts = {"input": docs.count()}
+
+    pairs = minhash_near_duplicates(
+        docs, args.id_col, args.text_col, jaccard_threshold=args.jaccard
+    )
+    kept = near_dup_survivors(docs, args.id_col, pairs)
+    # survivors feed three downstream scans (LM join, split, packing):
+    # bound the lineage once
+    kept = kept.localCheckpoint()
+    counts["after_dedup"] = kept.count()
+
+    if args.min_logprob is not None:
+        lm = bigram_logprob_score(kept, args.id_col, args.text_col)
+        kept = kept.join(
+            lm.where(F.col("avg_logprob") >= args.min_logprob)
+            .select(args.id_col, "avg_logprob", "ppl"),
+            args.id_col,
+        )
+        counts["after_lm_gate"] = kept.count()
+
+    strata = _parse_weights(args.strata)
+    if strata:
+        kept = stratified_sample(
+            kept, args.id_col, args.lang_col, strata,
+            default_fraction=args.default_fraction,
+        ).drop("stratum_n", "rank")
+        counts["after_rebalance"] = kept.count()
+
+    splits = [(n, w) for n, w in _parse_weights(args.splits).items()]
+    curated = hash_split(kept, args.id_col, splits)
+    write_output(
+        curated, f"{args.out.rstrip('/')}/survivors", mode="overwrite"
+    )
+
+    train = curated.where(F.col("split") == splits[0][0])
+    packed = pack_sequences(
+        train, args.id_col, args.length_col,
+        budget=args.budget, n_shards=args.n_shards,
+    )
+    write_output(packed, f"{args.out.rstrip('/')}/packing", mode="overwrite")
+    counts["train_docs"] = train.count()
+    counts["packed_rows"] = packed.count()
+    print(json.dumps(counts))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
