@@ -778,6 +778,24 @@ def q_documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(docs, "doc_id", "n_chars", chunk_size=512, overlap=64)
 
 
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile summary (stats.group_quantiles): Spark
+    percentile() and DuckDB quantile_cont share the (n-1)*q linear
+    interpolation, so values match bit-for-bit after rounding; the
+    approx=True twin is the unbounded-group path."""
+    from typical_spark.operators.stats import group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    q = group_quantiles(ev, "value", by=["event_type"])
+    return q.select(
+        "event_type",
+        "n",
+        F.round("q_0_5", 4).alias("p50"),
+        F.round("q_0_9", 4).alias("p90"),
+        F.round("q_0_99", 4).alias("p99"),
+    )
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style tumbling rollup (stats.time_rollup): per
     (event_type, hour) counts and value sum/avg — one map-side-combined
@@ -978,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_chunks": q_documents_chunks,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_value_outliers": q_events_value_outliers,
+        "events_value_quantiles": q_events_value_quantiles,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1786,6 +1805,14 @@ def oracle_sql() -> dict[str, str]:
                    least(chunk_idx * 448 + 512, len) - chunk_idx * 448
                        AS chunk_len
             FROM c
+        """,
+        "events_value_quantiles": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
         """,
         "events_hourly_rollup": """
             SELECT event_type, date_trunc('hour', ts) AS bucket,

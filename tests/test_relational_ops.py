@@ -469,3 +469,20 @@ def test_minhash_cross_duplicates_crawl_vs_corpus(spark):
     assert (100, 1) in got and got[(100, 1)] > 0.9
     assert all(nid != 200 for nid, _ in got)           # novel matches nothing
     assert all(cid != 3 for _, cid in got)             # distinct corpus doc untouched
+
+
+def test_group_quantiles_exact_and_approx_shapes(spark):
+    from typical_spark.operators.stats import group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(101)] + [("g", None)],
+        "k string, v double",
+    )
+    exact = group_quantiles(df, "v", by=["k"]).collect()[0]
+    assert exact["n"] == 101                      # NULL excluded
+    assert exact["q_0_5"] == 50.0                 # (n-1)*q lands on 50
+    assert exact["q_0_9"] == 90.0
+    approx = group_quantiles(df, "v", by=["k"], approx=True).collect()[0]
+    # same schema, sketch answer within a loose band
+    assert set(approx.asDict()) == set(exact.asDict())
+    assert abs(approx["q_0_5"] - 50.0) <= 2

@@ -188,3 +188,33 @@ def zscore_outliers(
             & (F.abs(F.col("zscore")) > F.lit(float(threshold)))
         )
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantile summary. exact (default): Spark's `percentile`
+    aggregate — linear interpolation at (n-1)*q, the same definition as
+    DuckDB's quantile_cont, so results are engine-exact (oracle-checked)
+    — but it buffers each group's values, so it is for bounded groups /
+    verification. approx=True: percentile_approx (bounded-memory
+    sketch), the 10^12-row path; same output schema so callers can swap
+    per scale — the exact/sketch pairing used across the engine
+    (ks_two_sample vs drift_report, stratified vs hash_sample).
+
+    Output: (*by, n, q_<quantile>...)."""
+    keys = list(by)
+    src = df.where(F.col(value_col).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q in quantiles:
+        name = f"q_{str(q).replace('.', '_')}"
+        if approx:
+            expr = F.percentile_approx(F.col(value_col), q)
+        else:
+            expr = F.expr(f"percentile({value_col}, {q!r})")
+        aggs.append(expr.alias(name))
+    return src.groupBy(*keys).agg(*aggs)
