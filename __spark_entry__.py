@@ -778,6 +778,24 @@ def q_documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(docs, "doc_id", "n_chars", chunk_size=512, overlap=64)
 
 
+def q_embeddings_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table
+    (similarity.quantize_embeddings), emitted as exploded scalar rows
+    (vec_id, scale, pos, q) so the cross-engine compare never depends
+    on array stringification."""
+    from typical_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb.where(F.col("embedding").isNotNull()))
+    return qz.select(
+        "vec_id",
+        F.round("scale", 4).alias("scale_r"),
+        F.posexplode("q").alias("pos0", "q"),
+    ).select(
+        "vec_id", "scale_r", (F.col("pos0") + 1).alias("pos"), "q"
+    )
+
+
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantile summary (stats.group_quantiles): Spark
     percentile() and DuckDB quantile_cont share the (n-1)*q linear
@@ -997,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_value_outliers": q_events_value_outliers,
         "events_value_quantiles": q_events_value_quantiles,
+        "embeddings_quantized": q_embeddings_quantized,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1805,6 +1824,27 @@ def oracle_sql() -> dict[str, str]:
                    least(chunk_idx * 448 + 512, len) - chunk_idx * 448
                        AS chunk_len
             FROM c
+        """,
+        "embeddings_quantized": """
+            -- same double-widened arithmetic, exploded to scalar rows
+            WITH s AS (
+                SELECT vec_id,
+                       coalesce(list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale,
+                       embedding
+                FROM embeddings WHERE embedding IS NOT NULL
+            ),
+            p AS (
+                SELECT vec_id, scale, embedding,
+                       unnest(generate_series(1, len(embedding))) AS pos
+                FROM s
+            )
+            SELECT vec_id, round(scale, 4) AS scale_r, pos,
+                   CASE WHEN scale > 0
+                        THEN CAST(round(CAST(embedding[pos] AS DOUBLE)
+                                        / scale * 127) AS TINYINT)
+                        ELSE CAST(0 AS TINYINT) END AS q
+            FROM p
         """,
         "events_value_quantiles": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

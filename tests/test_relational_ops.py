@@ -486,3 +486,26 @@ def test_group_quantiles_exact_and_approx_shapes(spark):
     # same schema, sketch answer within a loose band
     assert set(approx.asDict()) == set(exact.asDict())
     assert abs(approx["q_0_5"] - 50.0) <= 2
+
+
+def test_quantize_embeddings_reconstruction_and_edge_cases(spark):
+    from typical_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0]),          # zero vector
+        (3, None),                # NULL vector
+        (4, [3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["scale"] == 1.0
+    assert out[1]["q"] == [64, -127, 32, 0]     # round(0.5*127)=64 (half-up)
+    assert out[2]["scale"] == 0.0 and out[2]["q"] == [0, 0]
+    assert out[3]["scale"] == 0.0 and out[3]["q"] is None  # NULL stays NULL
+    assert out[4]["q"] == [127]
+    # reconstruction error bound: |x - q*scale/127| <= scale/254
+    for r in (out[1], out[4]):
+        xs = dict(rows)[r["vec_id"]]
+        for x, q in zip(xs, r["q"]):
+            assert abs(x - q * r["scale"] / 127) <= r["scale"] / 254 + 1e-9

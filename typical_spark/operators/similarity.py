@@ -296,3 +296,56 @@ def embedding_near_duplicates(
     return out.where(F.col("cosine_sim") >= cosine_threshold).select(
         "id_a", "id_b", "cosine_sim"
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale = max|x|,
+    q_i = round(x_i / scale * 127) in [-127, 127] — the standard 4x
+    memory cut for ANN serving (dot products run in int arithmetic,
+    reconstruction x ~ q * scale / 127, max error scale/254).
+
+    All arithmetic is element->double FIRST (float32->float64 widening
+    is exact), so a SQL engine replaying the same expression gets
+    bit-identical codes — oracle-checked. The scale is let-bound via a
+    one-element transform (HOF lambdas re-evaluate captured expressions
+    per element otherwise — array_max over the vector would go
+    quadratic in dimension). Zero/NULL vectors quantize to all-zero
+    codes with scale 0.
+
+    Output: (id_col, scale double, q array<tinyint>)."""
+
+    def build(v: Column) -> Column:
+        xd = F.transform(v, lambda x: F.abs(x.cast("double")))
+        scale = F.coalesce(F.array_max(xd), F.lit(0.0))
+        return F.element_at(
+            F.transform(
+                F.array(F.struct(scale.alias("s"), v.alias("v"))),
+                lambda b: F.struct(
+                    b["s"].alias("scale"),
+                    F.when(
+                        b["s"] > 0,
+                        F.transform(
+                            b["v"],
+                            lambda x: F.round(
+                                x.cast("double") / b["s"] * 127.0
+                            ).cast("tinyint"),
+                        ),
+                    )
+                    .otherwise(
+                        F.transform(b["v"], lambda x: F.lit(0).cast("tinyint"))
+                    )
+                    .alias("q"),
+                ),
+            ),
+            1,
+        )
+
+    out = df.select(
+        F.col(id_col),
+        build(F.col(vec_col)).alias("_qz"),
+    )
+    return out.select(
+        id_col, F.col("_qz.scale").alias("scale"), F.col("_qz.q").alias("q")
+    )
