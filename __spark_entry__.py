@@ -778,6 +778,25 @@ def q_documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(docs, "doc_id", "n_chars", chunk_size=512, overlap=64)
 
 
+def q_events_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour event velocity per user (stats.rolling_time_agg):
+    a RANGE frame over epoch seconds, so simultaneous events share the
+    same window — burst/bot detection features. Emitted per event."""
+    from typical_spark.operators.stats import rolling_time_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    r = rolling_time_agg(
+        ev.where(F.col("user_id").isNotNull()),
+        "ts", by=["user_id"], window_seconds=3600, value_col="value",
+    )
+    return r.select(
+        "event_id",
+        "user_id",
+        "n_trailing",
+        F.round("sum_trailing", 4).alias("sum_trailing"),
+    )
+
+
 def q_embeddings_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table
     (similarity.quantize_embeddings), emitted as exploded scalar rows
@@ -1016,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": q_events_value_outliers,
         "events_value_quantiles": q_events_value_quantiles,
         "embeddings_quantized": q_embeddings_quantized,
+        "events_rolling_counts": q_events_rolling_counts,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1824,6 +1844,19 @@ def oracle_sql() -> dict[str, str]:
                    least(chunk_idx * 448 + 512, len) - chunk_idx * 448
                        AS chunk_len
             FROM c
+        """,
+        "events_rolling_counts": """
+            -- RANGE frame over epoch seconds: ties share the window
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+                   round(sum(value) OVER w, 4) AS sum_trailing
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            WINDOW w AS (
+                PARTITION BY user_id
+                ORDER BY epoch_us(ts) / 1000000.0
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+            )
         """,
         "embeddings_quantized": """
             -- same double-widened arithmetic, exploded to scalar rows

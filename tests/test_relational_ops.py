@@ -509,3 +509,25 @@ def test_quantize_embeddings_reconstruction_and_edge_cases(spark):
         xs = dict(rows)[r["vec_id"]]
         for x, q in zip(xs, r["q"]):
             assert abs(x - q * r["scale"] / 127) <= r["scale"] / 254 + 1e-9
+
+
+def test_rolling_time_agg_window_semantics(spark):
+    """Hand fixture: trailing window includes the current row, expires
+    rows older than window_seconds, and ties share the window."""
+    from typical_spark.operators.stats import rolling_time_agg
+
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-01-01 00:30:00", 2),
+        ("u", "2024-01-01 00:30:00", 3),   # tie with row 2
+        ("u", "2024-01-01 01:15:00", 4),   # row 1 expired (75 min later)
+        ("v", "2024-01-01 00:30:00", 5),   # other key independent
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, rid int").select(
+        "k", F.col("ts").cast("timestamp_ntz").alias("ts"), "rid"
+    )
+    got = {
+        r["rid"]: r["n_trailing"]
+        for r in rolling_time_agg(df, "ts", by=["k"], window_seconds=3600).collect()
+    }
+    assert got == {1: 1, 2: 3, 3: 3, 4: 3, 5: 1}

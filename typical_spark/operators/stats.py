@@ -218,3 +218,44 @@ def group_quantiles(
             expr = F.expr(f"percentile({value_col}, {q!r})")
         aggs.append(expr.alias(name))
     return src.groupBy(*keys).agg(*aggs)
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    ts_col: str,
+    by: Sequence[str],
+    window_seconds: int = 3600,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-row trailing-window aggregate: how many events (and value
+    sum, when value_col is given) the same key produced in the
+    preceding `window_seconds` INCLUDING this row — rate limiting,
+    burst/bot detection, velocity features. A RANGE frame over the
+    epoch-seconds order, so simultaneous rows (ties) all see the same
+    window — the correct semantics for equal timestamps, where ROWS
+    frames would order ties arbitrarily.
+
+    One shuffle on the key + one per-key sort (the per-key ordered-
+    operator cost envelope); the frame scan is incremental inside
+    Spark's window exec, not O(window) per row.
+
+    Output: input columns + epoch_s + n_trailing [+ sum_trailing]."""
+    from pyspark.sql import Window
+
+    keys = list(by)
+    base = df.where(F.col(ts_col).isNotNull())
+    epoch = (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast(
+        "double"
+    )
+    base = base.withColumn("epoch_s", epoch)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("epoch_s"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    out = base.withColumn(
+        "n_trailing", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+    if value_col is not None:
+        out = out.withColumn("sum_trailing", F.sum(F.col(value_col)).over(w))
+    return out
