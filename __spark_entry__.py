@@ -778,6 +778,18 @@ def q_documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(docs, "doc_id", "n_chars", chunk_size=512, overlap=64)
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel per user
+    (runs.funnel_steps): chained earliest-completion min() aggregates,
+    engine-exact by construction."""
+    from typical_spark.operators.runs import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
 def q_events_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour event velocity per user (stats.rolling_time_agg):
     a RANGE frame over epoch seconds, so simultaneous events share the
@@ -1036,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": q_events_value_quantiles,
         "embeddings_quantized": q_embeddings_quantized,
         "events_rolling_counts": q_events_rolling_counts,
+        "events_funnel": q_events_funnel,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1844,6 +1857,35 @@ def oracle_sql() -> dict[str, str]:
                    least(chunk_idx * 448 + 512, len) - chunk_idx * 448
                        AS chunk_len
             FROM c
+        """,
+        "events_funnel": """
+            -- earliest-completion ordered funnel, same min() chain
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t_1 FROM events
+                WHERE event_type = 'view'
+                  AND ts IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t_2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click'
+                  AND e.ts IS NOT NULL AND e.ts >= s1.t_1
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t_3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND e.ts IS NOT NULL AND e.ts >= s2.t_2
+                GROUP BY e.user_id
+            )
+            SELECT s1.user_id, t_1, t_2, t_3,
+                   CAST(CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END
+                      AS INT) AS step_reached
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         """,
         "events_rolling_counts": """
             -- RANGE frame over epoch seconds: ties share the window

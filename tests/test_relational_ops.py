@@ -531,3 +531,30 @@ def test_rolling_time_agg_window_semantics(spark):
         for r in rolling_time_agg(df, "ts", by=["k"], window_seconds=3600).collect()
     }
     assert got == {1: 1, 2: 3, 3: 3, 4: 3, 5: 1}
+
+
+def test_funnel_steps_ordered_semantics(spark):
+    """The chain is ORDERED: a purchase before the first click must not
+    count; equal timestamps do (>= semantics); chain breaks leave NULL
+    tails; non-starters are absent."""
+    from typical_spark.operators.runs import funnel_steps
+
+    rows = [
+        ("u1", "2024-01-01 00:00", "view"),
+        ("u1", "2024-01-01 01:00", "click"),
+        ("u1", "2024-01-01 02:00", "purchase"),    # full conversion
+        ("u2", "2024-01-01 00:00", "purchase"),    # purchase BEFORE view
+        ("u2", "2024-01-01 01:00", "view"),
+        ("u3", "2024-01-01 00:00", "view"),
+        ("u3", "2024-01-01 00:00", "click"),       # tie with view: counts
+        ("u4", "2024-01-01 00:00", "click"),       # never viewed -> absent
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, event_type string")\
+        .select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type")
+    got = {
+        r["user_id"]: r["step_reached"]
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"u1": 3, "u2": 1, "u3": 2}

@@ -74,3 +74,53 @@ def value_runs(
         .where(F.col("run_len") >= min_run_len)
         .drop("_run")
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest completion chain of
+    `steps` — t_1 = first step-1 event, t_i = first step-i event at or
+    after t_{i-1}. The product-analytics conversion primitive (ordered
+    semantics, earliest-first greedy, which is the standard and — being
+    a chain of min() aggregates — deterministic and engine-exact).
+
+    Plan: one filtered map-side-combined min() aggregate per step plus
+    an equi-join per transition, all on the user key — k-1 narrow joins
+    of per-user scalar rows, never a window over raw events. At 10^12
+    events each stage filters to its step's events before shuffling, so
+    the heavy table crosses the wire once per participating step, not
+    once per user.
+
+    Output: (user_col, t_1..t_k, step_reached) — users who never did
+    step 1 are absent; t_i is NULL once the chain breaks."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    base = df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+    out = (
+        base.where(F.col(event_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.where(F.col(event_col) == step)
+            .join(
+                out.select(user_col, F.col(f"t_{i - 1}")).where(
+                    F.col(f"t_{i - 1}").isNotNull()
+                ),
+                user_col,
+            )
+            .where(F.col(ts_col) >= F.col(f"t_{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    reached = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        reached = reached + F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+    return out.withColumn("step_reached", reached.cast("int"))
