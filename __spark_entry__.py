@@ -778,6 +778,28 @@ def q_documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(docs, "doc_id", "n_chars", chunk_size=512, overlap=64)
 
 
+def q_documents_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (text_analysis.nfc_normalize, the
+    Arrow-batched pandas-UDF escape hatch) on deterministically-planted
+    decomposed text ('e'+combining-acute, 'A'+combining-ring — the
+    corpus itself is ASCII), verified against DuckDB's nfc_normalize:
+    changed flag, normalized-text md5, and composed-pair count."""
+    from typical_spark.functions.text_analysis import nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" café Å"),
+    )
+    n = nfc_normalize(planted)
+    return docs.select(
+        "doc_id",
+        (n != planted).alias("changed"),
+        F.md5(n).alias("nfc_md5"),
+        (F.length(planted) - F.length(n)).cast("int").alias("n_composed"),
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view -> click -> purchase funnel per user
     (runs.funnel_steps): chained earliest-completion min() aggregates,
@@ -1049,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantized": q_embeddings_quantized,
         "events_rolling_counts": q_events_rolling_counts,
         "events_funnel": q_events_funnel,
+        "documents_nfc": q_documents_nfc,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1857,6 +1880,21 @@ def oracle_sql() -> dict[str, str]:
                    least(chunk_idx * 448 + 512, len) - chunk_idx * 448
                        AS chunk_len
             FROM c
+        """,
+        "documents_nfc": """
+            -- same planted decomposed suffix (chr 769 = U+0301 acute,
+            -- chr 778 = U+030A ring), DuckDB's native nfc_normalize
+            SELECT doc_id,
+                   planted <> nfc_normalize(planted) AS changed,
+                   md5(nfc_normalize(planted)) AS nfc_md5,
+                   CAST(length(planted) - length(nfc_normalize(planted))
+                        AS INT) AS n_composed
+            FROM (
+                SELECT doc_id,
+                       coalesce(text, '') || ' cafe' || chr(769)
+                       || ' A' || chr(778) AS planted
+                FROM documents
+            )
         """,
         "events_funnel": """
             -- earliest-completion ordered funnel, same min() chain

@@ -558,3 +558,14 @@ def test_funnel_steps_ordered_semantics(spark):
         ).collect()
     }
     assert got == {"u1": 3, "u2": 1, "u3": 2}
+
+
+def test_nfc_normalize_pandas_udf(spark):
+    from typical_spark.functions.text_analysis import nfc_normalize
+
+    rows = [(1, "café"), (2, "café"), (3, None), (4, "plain")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", nfc_normalize(F.col("t")).alias("n")).collect()}
+    assert got[1] == got[2] == "café"   # decomposed composes
+    assert got[3] is None and got[4] == "plain"

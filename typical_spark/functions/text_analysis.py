@@ -425,3 +425,36 @@ def bigram_logprob_score(df, id_col: str, text_col: str, k: float = 0.5):
         "avg_logprob",
         F.round(F.round(F.exp(-F.col("avg_logprob")), 6), 4).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (the one text kernel Catalyst cannot express)
+# ---------------------------------------------------------------------------
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    engine's documented escape hatch (SURVEY Table B, UDF row): Spark
+    has no canonical-composition expression, so this is a genuine
+    cannot-express-in-Catalyst kernel, batched through Arrow (never
+    row-at-a-time `udf()`). Web text mixes composed and decomposed
+    forms of the same grapheme ('e'+U+0301 vs 'é'); dedup hashes,
+    shingles, and tokenizers all disagree on un-normalized input, so
+    NFC-at-ingest is standard corpus hygiene. Cross-engine exact:
+    CPython's unicodedata and DuckDB's nfc_normalize implement the same
+    Unicode canonical composition (oracle-checked)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # explicit annotations (not PEP-563 strings: this module has
+    # `from __future__ import annotations`, under which pandas_udf's
+    # hint inference cannot resolve 'pd.Series' from a local import)
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")(col)
