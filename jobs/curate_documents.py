@@ -74,9 +74,14 @@ def main(argv=None) -> int:
                     help="token/length column used for packing")
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("typical-spark-curate")\
-        .config("spark.sql.ansi.enabled", "false")\
-        .getOrCreate()  # throughput knob only; engine is ANSI-safe
+    # getOrCreate() would apply runtime confs to an ALREADY-RUNNING
+    # session (permanently flipping ANSI off for a host embedding this
+    # job next to other workloads); only configure a session we create
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.appName("typical-spark-curate")
+        .config("spark.sql.ansi.enabled", "false")  # throughput knob
+        .getOrCreate()                              # engine is ANSI-safe
+    )
 
     from typical_spark.functions.text_analysis import bigram_logprob_score
     from typical_spark.operators.dedup import (
@@ -103,33 +108,53 @@ def main(argv=None) -> int:
 
     if args.min_logprob is not None:
         lm = bigram_logprob_score(kept, args.id_col, args.text_col)
-        kept = kept.join(
-            lm.where(F.col("avg_logprob") >= args.min_logprob)
-            .select(args.id_col, "avg_logprob", "ppl"),
-            args.id_col,
+        # LEFT join: docs with <2 tokens have no defined LM score and
+        # must not be silently deleted by the gate — they pass through
+        # (and are counted) rather than riding an inner join to /dev/null
+        kept = kept.join(lm.select(args.id_col, "avg_logprob", "ppl"),
+                         args.id_col, "left")
+        counts["lm_unscored_kept"] = kept.where(
+            F.col("avg_logprob").isNull()
+        ).count()
+        kept = kept.where(
+            F.col("avg_logprob").isNull()
+            | (F.col("avg_logprob") >= args.min_logprob)
         )
         counts["after_lm_gate"] = kept.count()
 
     strata = _parse_weights(args.strata)
     if strata:
+        # stratified_sample excludes NULL-stratum rows (no identity to
+        # rank within); a NULL lang is "undetected", not "drop me" —
+        # keep those rows whole and count them
+        null_lang = kept.where(F.col(args.lang_col).isNull())
+        counts["null_lang_kept"] = null_lang.count()
         kept = stratified_sample(
             kept, args.id_col, args.lang_col, strata,
             default_fraction=args.default_fraction,
-        ).drop("stratum_n", "rank")
+        ).drop("stratum_n", "rank").unionByName(null_lang)
         counts["after_rebalance"] = kept.count()
+
+    def sub_target(name: str) -> str:
+        # Iceberg identifiers take '.' separators; a '/' would be an
+        # unparseable multipart name
+        if args.out.startswith("iceberg://"):
+            return f"{args.out.rstrip('.')}.{name}"
+        return f"{args.out.rstrip('/')}/{name}"
 
     splits = [(n, w) for n, w in _parse_weights(args.splits).items()]
     curated = hash_split(kept, args.id_col, splits)
-    write_output(
-        curated, f"{args.out.rstrip('/')}/survivors", mode="overwrite"
-    )
+    write_output(curated, sub_target("survivors"), mode="overwrite")
 
-    train = curated.where(F.col("split") == splits[0][0])
+    # pack the split NAMED train if present, else the first listed one
+    split_names = [n for n, _ in splits]
+    pack_split = "train" if "train" in split_names else split_names[0]
+    train = curated.where(F.col("split") == pack_split)
     packed = pack_sequences(
         train, args.id_col, args.length_col,
         budget=args.budget, n_shards=args.n_shards,
     )
-    write_output(packed, f"{args.out.rstrip('/')}/packing", mode="overwrite")
+    write_output(packed, sub_target("packing"), mode="overwrite")
     counts["train_docs"] = train.count()
     counts["packed_rows"] = packed.count()
     print(json.dumps(counts))

@@ -33,9 +33,13 @@ def main(argv=None) -> int:
                          "the built-in transcript spec")
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("typical-spark-stream")\
-        .config("spark.sql.ansi.enabled", "false")\
-        .getOrCreate()  # throughput knob only; engine is ANSI-safe (test_ansi_modes)
+    # only configure a session we create — getOrCreate() would apply
+    # runtime confs to an already-running shared session
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.appName("typical-spark-stream")
+        .config("spark.sql.ansi.enabled", "false")  # throughput knob only;
+        .getOrCreate()            # engine is ANSI-safe (test_ansi_modes)
+    )
 
     from typical_spark.compiler import compile_table_spec
     from typical_spark.schema import spec_to_structtype

@@ -43,7 +43,8 @@ def test_backward_golden(spark, frames):
         "p0": None,   # nothing at or before t=5
         "p3": None,   # u2's only click is later
         "p4": None,   # u3 right row has NULL ts -> never matches
-        # p5 (NULL key) and p6 (NULL ts) dropped entirely
+        "p5": None,   # NULL key: kept with NULL match (left-join semantics)
+        "p6": None,   # NULL ts: kept with NULL match
     }
 
 
@@ -53,13 +54,15 @@ def test_forward_and_tolerance(spark, frames):
         r["pid"]: r["r_cid"]
         for r in asof_join(left, right, by=["user"], direction="forward").collect()
     }
-    assert fwd == {"p1": "c2", "p2": None, "p0": "c1", "p3": "c4", "p4": None}
+    assert fwd == {"p1": "c2", "p2": None, "p0": "c1", "p3": "c4",
+                   "p4": None, "p5": None, "p6": None}
     tol = {
         r["pid"]: r["r_cid"]
         for r in asof_join(left, right, by=["user"],
                            tolerance_seconds=4).collect()
     }
-    assert tol == {"p1": "c2", "p2": None, "p0": None, "p3": None, "p4": None}
+    assert tol == {"p1": "c2", "p2": None, "p0": None, "p3": None,
+                   "p4": None, "p5": None, "p6": None}
 
 
 def test_duplicate_right_ts_is_deterministic(spark):

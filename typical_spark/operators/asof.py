@@ -59,26 +59,27 @@ def asof_join(
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     keys = list(by)
     payload_cols = [c for c in right.columns if c not in keys]
+    # NULL stand-in structs are cast to the DataType OBJECT — a
+    # simpleString()/DDL round-trip would choke on column names that
+    # need quoting (spaces, commas)
+    r_struct_type = right.select(
+        F.struct(*[F.col(c) for c in payload_cols]).alias("s")
+    ).schema["s"].dataType
+    l_struct_type = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("s")
+    ).schema["s"].dataType
     l_tagged = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        F.lit(None).cast(
-            right.select(
-                F.struct(*[F.col(c) for c in payload_cols]).alias("s")
-            ).schema["s"].dataType.simpleString()
-        ).alias("_r"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            left.select(
-                F.struct(*[F.col(c) for c in left.columns]).alias("s")
-            ).schema["s"].dataType.simpleString()
-        ).alias("_l"),
+        F.lit(None).cast(l_struct_type).alias("_l"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("_r"),
     )
     keys_ok = F.lit(True)
@@ -117,4 +118,19 @@ def asof_join(
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
         F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
     ]
-    return matched.select(*out_cols)
+    result = matched.select(*out_cols)
+    # true left-join semantics: left rows with a NULL key or NULL
+    # timestamp cannot match, but they are NOT dropped — they come back
+    # with NULL right columns (pandas merge_asof would refuse such keys
+    # outright; a distributed attribution pass must not lose rows)
+    l_ok = F.col(left_ts).isNotNull()
+    for k in keys:
+        l_ok = l_ok & F.col(k).isNotNull()
+    unmatched = left.where(~l_ok).select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.lit(None).cast(f.dataType).alias(f"{right_prefix}{f.name}")
+            for f in r_struct_type.fields
+        ],
+    )
+    return result.unionByName(unmatched)

@@ -134,6 +134,72 @@ def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
     )
 
 
+def _shingle_sig_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_words: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle -> seeded-signature -> banding pipeline behind
+    BOTH minhash variants (self-join `minhash_near_duplicates` and the
+    incremental `minhash_cross_duplicates`) — one spelling, so the two
+    can never drift apart. Returns (sh, banded):
+
+    - sh (persisted): the shingle table; it feeds multiple plan
+      branches (signature + exact-verify sides) — the analog of the
+      "write the signature table first" step in production LSH dedup
+      (recomputing shingling per branch tripled the cost).
+    - banded: narrow (_id, band, bhash) rows. Signature via explode +
+      n_hashes min() aggregates — whole-stage-codegen'd with map-side
+      partial combine, an order of magnitude faster than interpreted
+      array-lambda accumulators, and the seeded xxhash64(h, i) family
+      is overflow-free so it is correct under ANSI mode. Shingle
+      arrays are the WIDE payload: banding joins ride only the 16-byte
+      rows, keeping the shuffle ~GBs at 10^9 docs.
+    """
+    if n_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
+    r = n_hashes // bands
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), shingle_words).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        .persist()
+    )
+    hashed = sh.select(
+        "_id", F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_h")
+    )
+    sig = hashed.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    ).select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("_sig")
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("_sig", b * r + 1, r))
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    return sh, banded
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -157,7 +223,6 @@ def minhash_near_duplicates(
     band bucket. Pair semantics are keep-first: members pair with their
     representative, and only representatives pair across groups.
     """
-    r = n_hashes // bands
     df = _ensure_parallelism(df)
     star = None
     if collapse_exact:
@@ -177,51 +242,9 @@ def minhash_near_duplicates(
         df = df.join(
             reps, F.col(id_col) == reps["_id"], "left_semi"
         )
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_words).alias("_sh"),
-    ).where(F.size("_sh") > 0)
-    # the shingle table feeds 3 plan branches (signature, verify-left,
-    # verify-right): materialize it once — the exact analog of the
-    # "write the signature table first" step every production LSH dedup
-    # pipeline has (recomputing shingling per branch tripled the cost)
-    sh = sh.persist()
-    # Signature via explode + 64 min() aggregates: hash aggregation is
-    # whole-stage-codegen'd with map-side partial combine, an order of
-    # magnitude faster than interpreted array-lambda accumulators; the
-    # shuffle carries one partial row per id per partition. Same seeded
-    # xxhash64(h, i) family as minhash_signature — overflow-free, so the
-    # operator is correct under ANSI mode (Spark 4.x default) without
-    # relying on any session-level arithmetic toggle.
-    hashed = sh.select(
-        "_id", F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_h")
+    sh, banded = _shingle_sig_bands(
+        df, id_col, text_col, n_hashes, bands, shingle_words
     )
-    sig = hashed.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
-            for i in range(n_hashes)
-        ]
-    ).select(
-        "_id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("_sig")
-    )
-    # shingle arrays are the WIDE payload: band/bucket/self-join on the
-    # narrow (id, band, bhash) rows only (16 bytes each), and join the
-    # shingles back afterwards for the exact verify — at 10^9 docs the
-    # banding shuffle stays ~GBs instead of the corpus size.
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("_sig", b * r + 1, r))
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -601,49 +624,14 @@ def minhash_cross_duplicates(
 
     Output: (new_id, corpus_id, jaccard) with jaccard >= threshold.
     """
-    r = n_hashes // bands
-
-    def prep(df: DataFrame):
-        d = _ensure_parallelism(df)
-        sh = (
-            d.select(
-                F.col(id_col).alias("_id"),
-                word_shingles(F.col(text_col), shingle_words).alias("_sh"),
-            )
-            .where(F.size("_sh") > 0)
-            .persist()
-        )
-        hashed = sh.select(
-            "_id",
-            F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_h"),
-        )
-        sig = hashed.groupBy("_id").agg(
-            *[
-                F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
-                for i in range(n_hashes)
-            ]
-        ).select(
-            "_id",
-            F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("_sig"),
-        )
-        banded = sig.select(
-            "_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.slice("_sig", b * r + 1, r))
-                        ).alias("bhash"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select("_id", "bb.band", "bb.bhash")
-        return sh, banded
-
-    sh_new, band_new = prep(new_df)
-    sh_cor, band_cor = prep(corpus_df)
+    sh_new, band_new = _shingle_sig_bands(
+        _ensure_parallelism(new_df), id_col, text_col,
+        n_hashes, bands, shingle_words,
+    )
+    sh_cor, band_cor = _shingle_sig_bands(
+        _ensure_parallelism(corpus_df), id_col, text_col,
+        n_hashes, bands, shingle_words,
+    )
     cand = (
         band_new.alias("n")
         .join(

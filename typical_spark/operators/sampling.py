@@ -122,7 +122,10 @@ def stratified_sample(
     drift_report.
 
     Unlisted strata get default_fraction. fraction=1.0 keeps the whole
-    stratum, 0.0 drops it. Output: input columns + (stratum_n, rank).
+    stratum, 0.0 drops it. Rows with a NULL stratum are EXCLUDED (there
+    is no stratum identity to rank within) — union them back explicitly
+    if "undetected" should mean "kept" (see jobs/curate_documents.py).
+    Output: input columns + (stratum_n, rank).
     """
     for name, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:

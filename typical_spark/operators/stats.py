@@ -215,7 +215,9 @@ def group_quantiles(
         if approx:
             expr = F.percentile_approx(F.col(value_col), q)
         else:
-            expr = F.expr(f"percentile({value_col}, {q!r})")
+            # F.percentile binds the column properly — an f-string into
+            # F.expr would break quotable names and invite injection
+            expr = F.percentile(F.col(value_col), F.lit(q))
         aggs.append(expr.alias(name))
     return src.groupBy(*keys).agg(*aggs)
 
@@ -244,9 +246,18 @@ def rolling_time_agg(
 
     keys = list(by)
     base = df.where(F.col(ts_col).isNotNull())
-    epoch = (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast(
-        "double"
-    )
+    # dtype dispatch (same reason as interval.py's bucket()): numeric
+    # epoch columns must not ride a numeric->timestamp cast, which ANSI
+    # mode rejects
+    dt = dict(df.dtypes)[ts_col]
+    if dt.startswith("timestamp"):
+        epoch = (
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000
+        ).cast("double")
+    elif dt == "date":
+        epoch = F.unix_date(F.col(ts_col)).cast("double") * 86400.0
+    else:
+        epoch = F.col(ts_col).cast("double")
     base = base.withColumn("epoch_s", epoch)
     w = (
         Window.partitionBy(*keys)
