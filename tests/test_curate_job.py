@@ -42,3 +42,41 @@ def test_curate_job_end_to_end(spark, tmp_path, capsys):
     b = sorted(r["doc_id"] for r in
                spark.read.parquet(str(out2 / "survivors")).collect())
     assert a == b
+
+
+def test_curate_job_keeps_unscored_and_null_lang_docs(spark, tmp_path, capsys):
+    """The review-fixed edge paths, exercised with counts > 0: docs too
+    short for an LM score and docs with NULL lang must survive the gate
+    and the rebalance (counted), not silently vanish."""
+    import curate_documents
+
+    rows = (
+        [(i, "some reasonably long english document text here " * 3,
+          "en", 150) for i in range(40)]
+        + [(100, "short", "en", 5),          # 1 token: no LM score
+           (101, "tiny", None, 4),           # 1 token AND NULL lang
+           (102, "a normal length document with plenty of words inside",
+            None, 52)]                       # NULL lang only
+    )
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.parquet(str(src))
+    out = tmp_path / "out"
+    rc = curate_documents.main([
+        "--input", str(src), "--out", str(out),
+        "--min-logprob", "999",              # gate rejects EVERY scored doc
+        "--strata", "en=1.0",
+    ])
+    assert rc == 0
+    import json as _json
+
+    counts = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # only the unscored docs survive a reject-everything gate
+    assert counts["lm_unscored_kept"] == 2
+    assert counts["after_lm_gate"] == 2
+    assert counts["null_lang_kept"] == 1     # doc 101 (102 was scored+rejected)
+    assert counts["after_rebalance"] == 2
+    surv = {r["doc_id"] for r in
+            spark.read.parquet(str(out / "survivors")).collect()}
+    assert surv == {100, 101}
