@@ -79,6 +79,9 @@ def main(argv=None) -> int:
     # job next to other workloads); only configure a session we create
     spark = SparkSession.getActiveSession() or (
         SparkSession.builder.appName("typical-spark-curate")
+        .config("spark.sql.session.timeZone", "UTC")
+        # pinned tz: NTZ<->epoch conversions (watermarks, durations)
+        # must agree across driver, executors, and oracles
         .config("spark.sql.ansi.enabled", "false")  # throughput knob
         .getOrCreate()                              # engine is ANSI-safe
     )

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     # runtime confs to an already-running shared session
     spark = SparkSession.getActiveSession() or (
         SparkSession.builder.appName("typical-spark-validate")
+        .config("spark.sql.session.timeZone", "UTC")
+        # pinned tz: NTZ<->epoch conversions (watermarks, durations)
+        # must agree across driver, executors, and oracles
         .config("spark.sql.ansi.enabled", "false")  # throughput knob only;
         .getOrCreate()            # engine is ANSI-safe (test_ansi_modes)
     )

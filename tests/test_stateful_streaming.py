@@ -99,17 +99,19 @@ def test_shuffled_arrival_matches_batch(spark):
         )
         src.repartition(3).write.mode("overwrite").parquet(d)
         batch_df = spark.read.parquet(d)
+        cols = ["conv_id", "turn_idx", "check_id", "observed", "expected"]
         want = sorted(
             map(tuple, ordering_violations(
                 batch_df.where(F.col("conv_id").isNotNull()),
                 ["conv_id"], "turn_idx", ts_col="ts",
-            ).select("conv_id", "turn_idx", "check_id").collect())
+            ).select(*cols).collect())
         )
         _write_sentinel(spark, d)
         out = _run_stream(spark, d, batch_df.schema, "st_par")
-        got = sorted(
-            map(tuple, out.select("conv_id", "turn_idx", "check_id").collect())
-        )
+        got = sorted(map(tuple, out.select(*cols).collect()))
+        # ALL FIVE columns byte-identical: the stateful kernel must
+        # reproduce the batch operator's observed/expected text exactly
+        # (epoch-micros reconstruct + _fmt_ts), not just the check ids
         assert got == want and len(want) > 10
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -45,7 +45,15 @@ def ordering_violations(
       ts_out_of_order  — timestamp decreased while order increased
     Output: group_cols…, order value, check_id, observed, expected.
     """
-    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).asc())
+    # ts breaks order_col ties (asc = nulls first, matching the
+    # stateful operator's python sort): without it, duplicate order
+    # values with UNEQUAL timestamps gave the next row a
+    # nondeterministic "previous", so ts_out_of_order output could
+    # change run to run
+    order_keys = [F.col(order_col).asc()] + (
+        [F.col(ts_col).asc()] if ts_col else []
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order_keys)
     prev_o = F.lag(order_col).over(w)
     lagged = df.select(
         *group_cols,

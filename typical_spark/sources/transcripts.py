@@ -60,12 +60,20 @@ def generate_transcripts_pdf(n_turns: int, seed: int = 42) -> pd.DataFrame:
     hot_size = max(int(n_turns * 0.002), 2) if n_hot else 0
     n_rest = n_turns - n_hot * hot_size
     n_convs = max(n_rest // 20, 1)
-    sizes = rng.poisson(19, size=n_convs) + 1
-    # trim/pad so sizes sum to exactly n_rest
+    # overdraw ~6% so the Poisson sum always overshoots n_rest, then trim
+    # to EXACTLY n_rest (a prior version drew exactly n_convs sizes and
+    # had no pad path, so ~half of (n, seed) pairs silently produced
+    # O(sqrt n) fewer turns than requested)
+    n_draw = n_convs + max(n_convs // 16, 8)
+    sizes = rng.poisson(19, size=n_draw) + 1
     cum = np.cumsum(sizes)
     cut = int(np.searchsorted(cum, n_rest))
-    sizes = sizes[: cut + 1].copy()
-    sizes[-1] -= int(cum[cut] - n_rest) if cut < len(cum) else 0
+    if cut < len(cum):
+        sizes = sizes[: cut + 1].copy()
+        sizes[-1] -= int(cum[cut] - n_rest)
+    else:  # buffer exhausted (astronomically unlikely): pad, never short
+        sizes = sizes.copy()
+        sizes[-1] += int(n_rest - cum[-1])
     if sizes[-1] <= 0:
         sizes = sizes[:-1]
     all_sizes = np.concatenate([np.full(n_hot, hot_size, dtype=np.int64), sizes])
@@ -157,11 +165,19 @@ def replicate_transcripts(df, factor: int, conv_id_col: str = "conv_id"):
     # digits, so base conversations must fit in the remaining ones
     # (7 digits for factor<=10, 6 beyond) or distinct base ids would
     # collapse within a replica and violation counts would go superlinear
-    n_convs = df.select(conv_id_col).distinct().count() if factor > 10 else 0
-    assert factor <= 10 or n_convs < 1_000_000, (
-        f"{n_convs} base conversations need >6 id digits; "
-        "factor > 10 would collapse distinct ids within replicas"
-    )
+    # ids are generated dense-from-zero (c%08d), so the max id string
+    # tells us how many leading digits are zero — one cheap column-max
+    # instead of a distinct-count, and it guards EVERY factor (a prior
+    # version skipped factor 2-10, where a >=10^7-conversation base
+    # would silently collapse distinct ids within each replica)
+    if factor > 1:
+        top = df.agg(F.max(conv_id_col)).first()[0]
+        bound = "c1" if factor <= 10 else "c01"
+        assert top is None or top < bound, (
+            f"max conv id {top!r} needs the digits the replica prefix "
+            f"overwrites (factor {factor} requires ids < {bound!r}0...); "
+            "distinct ids would collapse within replicas"
+        )
     parts = []
     for r in range(factor):
         # replica index overwrites the LEADING digit(s) of the 8-digit id
@@ -237,8 +253,12 @@ def transcripts_dataset(
     downstream per-conversation operators then start from co-located data.
     Returns (transcripts_df, conversations_df).
     """
-    tdir = os.path.join(cache_dir, f"transcripts_n{n_turns}_s{seed}")
-    cdir = os.path.join(cache_dir, f"conversations_n{n_turns}_s{seed}")
+    # buckets participates in the cache key (default elided to keep the
+    # documented path names stable): a different bucket count must never
+    # be served a stale layout
+    bkey = "" if buckets == 32 else f"_b{buckets}"
+    tdir = os.path.join(cache_dir, f"transcripts_n{n_turns}_s{seed}{bkey}")
+    cdir = os.path.join(cache_dir, f"conversations_n{n_turns}_s{seed}{bkey}")
     if not os.path.exists(os.path.join(tdir, "_SUCCESS")):
         pdf = generate_transcripts_pdf(n_turns, seed)
         cpdf = generate_conversations_pdf(pdf, seed=seed)

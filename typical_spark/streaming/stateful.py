@@ -10,6 +10,25 @@ one pass. This is the session-window pattern: incremental checking
 against a running max cannot work here because the anomalous timestamps
 being *detected* would themselves reorder incremental finalization.
 
+Timestamps cross the Arrow boundary as EPOCH MICROSECONDS computed
+JVM-side (`unix_micros`), never as naive pandas timestamps: a naive
+timestamp is session-local wall time, but pandas interprets naive as
+UTC, so `.timestamp()` would disagree with `getCurrentWatermarkMs()` by
+the session-timezone offset — sessions would flush early (split
+conversations, missed transition violations) or hold state for hours.
+Micros also survive the double-array state exactly (< 2^53), so the
+violation text reconstructs byte-identical to the batch operator's.
+
+NULL handling mirrors the batch operator's SQL semantics exactly
+(verified by the shuffled-arrival parity test, which includes NULL-ts
+rows): rows with NULL turn_idx or ts are KEPT — they sort first within
+their (turn, ts) slot like Spark's nulls-first ordering, emit no
+violation themselves (a NULL transition delta fails every check
+predicate), but DO become the next row's "previous" exactly as the
+window variant's lag() sees them. Only NULL conv_id rows are excluded
+(same filter as the batch callers). NULL event times pass through the
+watermark operator unfiltered — only late non-null times are dropped.
+
 State per conversation = its turn buffer (two parallel arrays, ~12
 bytes/turn). Bounded by conversation length, not stream length; state
 for closed conversations is removed at flush. Callers should bound event
@@ -22,6 +41,7 @@ Arrow-batched grouped kernel; no per-row Python outside it.
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Iterable
 
 import pandas as pd
@@ -30,26 +50,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from typical_spark.operators.ordering import _fmt_ts
+
 OUT_SCHEMA = (
     "conv_id string, turn_idx int, check_id string, observed string, "
     "expected string"
 )
-STATE_SCHEMA = "pend_turn array<int>, pend_ts array<double>, last_seen double"
+STATE_SCHEMA = "pend_turn array<int>, pend_ts array<long>, last_seen long"
 
 SESSION_GAP_S = 1.0  # flush when watermark passes last activity + gap
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _us_str(us: int) -> str:
+    """Epoch-microseconds -> Spark timestamp-cast string (UTC session)."""
+    return _fmt_ts(_EPOCH + dt.timedelta(microseconds=us))
 
 
 def _check_conversation(conv_id, turns):
     """Batch-identical transition checks over the full, data-ordered
-    conversation (mirrors operators/ordering.py semantics)."""
+    conversation (mirrors operators/ordering.py semantics, including
+    the violation observed/expected text byte-for-byte)."""
     rows = []
-    max_turn, max_ts = None, None
+    lo = -(1 << 62)
     ordered = sorted(
-        turns, key=lambda p: (p[0], p[1] if p[1] is not None else float("-inf"))
+        turns,
+        key=lambda p: (
+            p[0] if p[0] is not None else lo,   # nulls first, like Spark
+            p[1] if p[1] is not None else lo,
+        ),
     )
+    prev_seen = False
     prev_turn, prev_ts = None, None
-    for turn_idx, ts_s in ordered:
-        if prev_turn is not None:
+    for turn_idx, ts_us in ordered:
+        # SQL null semantics: a NULL delta fails every check predicate,
+        # but the row still becomes the next row's "previous" (exactly
+        # what the window variant's lag() sees)
+        if prev_seen and turn_idx is not None and prev_turn is not None:
             d = turn_idx - prev_turn
             if d == 0:
                 rows.append((conv_id, turn_idx, "order_duplicate",
@@ -58,12 +96,15 @@ def _check_conversation(conv_id, turns):
                 rows.append((conv_id, turn_idx, "order_gap",
                              str(turn_idx), f"prev + 1 = {prev_turn + 1}"))
             if (
-                ts_s is not None and prev_ts is not None
-                and d > 0 and ts_s < prev_ts
+                ts_us is not None and prev_ts is not None
+                and d > 0 and ts_us < prev_ts
             ):
-                rows.append((conv_id, turn_idx, "ts_out_of_order",
-                             str(ts_s), ">= prev ts"))
-        prev_turn, prev_ts = turn_idx, ts_s
+                rows.append((
+                    conv_id, turn_idx, "ts_out_of_order",
+                    _us_str(ts_us), f">= prev ts {_us_str(prev_ts)}",
+                ))
+        prev_seen = True
+        prev_turn, prev_ts = turn_idx, ts_us
     return rows
 
 
@@ -73,7 +114,7 @@ def _check_group(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         pend_turn, pend_ts, last_seen = state.get
         pending = list(zip(pend_turn, pend_ts))
     else:
-        pending, last_seen = [], 0.0
+        pending, last_seen = [], 0
 
     if state.hasTimedOut:
         state.remove()
@@ -87,19 +128,23 @@ def _check_group(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
 
     for pdf in pdfs:
         for r in pdf.itertuples(index=False):
-            ts_s = r.ts.timestamp() if pd.notna(r.ts) else None
-            pending.append((int(r.turn_idx), ts_s))
-            if ts_s is not None and ts_s > last_seen:
-                last_seen = ts_s
+            # nullable ints arrive as float64 + NaN through Arrow:
+            # int(NaN) would kill the whole StreamingQuery, and batch
+            # semantics KEEP null turn/ts rows (see module docstring)
+            turn = int(r.turn_idx) if pd.notna(r.turn_idx) else None
+            ts_us = int(r.ts_us) if pd.notna(r.ts_us) else None
+            pending.append((turn, ts_us))
+            if ts_us is not None and ts_us > last_seen:
+                last_seen = ts_us
 
-    wm_s = state.getCurrentWatermarkMs() / 1000.0
+    wm_us = state.getCurrentWatermarkMs() * 1000
     state.update((
         [p[0] for p in pending],
         [p[1] for p in pending],
         last_seen,
     ))
     state.setTimeoutTimestamp(
-        int((max(last_seen, wm_s) + SESSION_GAP_S) * 1000)
+        int(max(last_seen, wm_us) / 1000 + SESSION_GAP_S * 1000)
     )
     return
 
@@ -113,8 +158,13 @@ def stateful_ordering_violations(
     emit when its session closes (watermark passes last activity)."""
     return (
         stream.withWatermark("ts", watermark)
-        .select("conv_id", "turn_idx", "ts")
         .where(F.col("conv_id").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
         .groupBy("conv_id")
         .applyInPandasWithState(
             _check_group,

@@ -10,8 +10,10 @@ engine-side generalization sketched in SURVEY.md Table B (Streaming row):
   expression-shaped).
 - `windowed_check_stats`: tumbling-window violation counts with a
   watermark; late turns beyond the watermark are dropped by Spark, and
-  turns that arrive late-but-within-watermark are additionally tagged as
-  `late_arrival` violations (ts older than window close at processing).
+  turns late-but-within-watermark simply update their (still-open)
+  window's counts — there is NO late_arrival violation class emitted
+  here. To flag lateness explicitly, compare event time to wall clock
+  in a `streaming_verdicts` foreachBatch stage, where both are visible.
 - `streaming_verdicts`: foreachBatch wrapper that runs ANY batch operator
   (uniqueness, referential, stats) per micro-batch — the documented
   pattern for reusing batch table-checks on streams.
