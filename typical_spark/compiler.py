@@ -57,18 +57,25 @@ def scalar_violation_pred(chk: Check, col: Column) -> Column:
     if isinstance(chk, NotNullCheck):
         return col.isNull()
     if isinstance(chk, NumberCheck):
+        # try_cast first: this path also runs against UNTYPED value
+        # expressions (union members, tagged cases, map values, array
+        # elements over string columns), where a bare `col >= lit(0)`
+        # would ANSI-cast the string and crash the job on 'abc' — the
+        # same hazard compile_check's try_cast handles for named
+        # columns. Unparseable -> the member is violated, never a crash.
+        num = col.try_cast("double")
         ok = F.lit(True)
         if chk.gt is not None:
-            ok = ok & (col > F.lit(chk.gt))
+            ok = ok & (num > F.lit(chk.gt))
         if chk.ge is not None:
-            ok = ok & (col >= F.lit(chk.ge))
+            ok = ok & (num >= F.lit(chk.ge))
         if chk.lt is not None:
-            ok = ok & (col < F.lit(chk.lt))
+            ok = ok & (num < F.lit(chk.lt))
         if chk.le is not None:
-            ok = ok & (col <= F.lit(chk.le))
+            ok = ok & (num <= F.lit(chk.le))
         if chk.multiple_of is not None:
-            ok = ok & (col % F.lit(chk.multiple_of) == 0)
-        return nn & ~ok
+            ok = ok & (num % F.lit(chk.multiple_of) == 0)
+        return nn & (num.isNull() | ~ok)
     if isinstance(chk, TextCheck):
         ok = F.lit(True)
         if chk.min_length is not None:
@@ -94,12 +101,14 @@ def scalar_violation_pred(chk: Check, col: Column) -> Column:
             viol = viol & scalar_violation_pred(m, col)
         return nn & viol
     if isinstance(chk, TimestampRangeCheck):
+        # same ANSI hazard as NumberCheck: try_cast, unparseable = violated
+        ts = col.try_cast("timestamp")
         ok = F.lit(True)
         if chk.min_ts is not None:
-            ok = ok & (col >= F.lit(chk.min_ts))
+            ok = ok & (ts >= F.lit(chk.min_ts))
         if chk.max_ts is not None:
-            ok = ok & (col < F.lit(chk.max_ts))
-        return nn & ~ok
+            ok = ok & (ts < F.lit(chk.max_ts))
+        return nn & (ts.isNull() | ~ok)
     raise TypeError(f"not a scalar check: {type(chk).__name__}")
 
 
@@ -498,13 +507,19 @@ def compile_table_spec(spec: TableSpec, mode: str = "coerce") -> "ValidationPlan
                 )
                 ce = None  # value checks run on the raw column in strict
         val = _value_expr(fs, base=ce)
-        # only record a transform projection if it's not the bare column
-        if any(
+        # only record a transform projection if it's not the bare column.
+        # The stored expression starts from the CURRENT column (not the
+        # coercion expression): plan.transform composes AFTER
+        # plan.coerce, and embedding the coercion here would re-apply it
+        # to the already-coerced column (e.g. utf8_decode of a decoded
+        # string). Strict mode records no transforms at all — validate,
+        # never mutate extends to the mutating pre-checks.
+        if mode != "strict" and any(
             (isinstance(c, TextCheck) and (c.strip_whitespace or c.curtail_length))
             or (isinstance(c, ArrayCheck) and c.unique)
             for c in fs.checks
         ):
-            transforms[fs.name] = val
+            transforms[fs.name] = _value_expr(fs)
         for chk in fs.checks:
             compiled.extend(compile_check(fs, chk, val))
     # secret fields: star-mask the observed value in every violation row

@@ -99,7 +99,17 @@ def from_rows(
         if v is None:
             return None
         if isinstance(f.dataType, T.StringType) and not isinstance(v, str):
-            return str(v)  # messy input welcome where a coercion is declared
+            # messy input welcome where a coercion is declared — but
+            # str() of a dict/list is Python repr (single quotes), which
+            # a json: coercion can never parse, and str(bytes) is
+            # "b'..'"; serialize each to the form the coercions expect
+            if isinstance(v, (dict, list, tuple)):
+                import json as _json
+
+                return _json.dumps(v)
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v).decode("utf-8", errors="replace")
+            return str(v)
         return v
 
     cleaned = [

@@ -29,6 +29,12 @@ def iso_timestamp_strict(col: Column) -> Column:
     return F.coalesce(
         F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
         F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+        # RFC3339 offset forms ('Z', '+01:00', '+0100') — the reference's
+        # pendulum parser accepts these; XXX/XX match both Z and numeric
+        # offsets, converting into the (UTC-pinned) session zone
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ssXX")),
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
         F.try_to_timestamp(s, F.lit("yyyy-MM-dd HH:mm:ss")),
         F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
     )

@@ -39,6 +39,15 @@ MODEL_SCHEMA = (
 )
 
 
+_SKILLS_DTYPE = (
+    "array<struct<subject:string,subject_id:bigint,category:string,"
+    "qual_level:string,qual_level_id:bigint,qual_level_ranking:double>>"
+)
+# the REAL element struct type (matches MODEL_SCHEMA): a prior
+# placeholder string needed a special case in schema.spec_to_structtype
+# and broke schema_conformance / from_rows for this spec
+
+
 def model_spec() -> TableSpec:
     return TableSpec(
         name="model_records",
@@ -68,7 +77,7 @@ def model_spec() -> TableSpec:
             # Optional[datetime]; "2013-3-2T19:48:10" must fail (invalid.json)
             FieldSpec("last_updated", "timestamp", coerce_from="iso_strict"),
             # List[Skill]: required member fields (functional.py:36-43)
-            FieldSpec("skills", "array<struct<...>>", checks=(
+            FieldSpec("skills", _SKILLS_DTYPE, checks=(
                 ArrayElementsCheck(inner=NotNullCheck(), element_field="subject"),
                 ArrayElementsCheck(inner=NotNullCheck(), element_field="subject_id"),
                 ArrayElementsCheck(inner=NumberCheck(ge=0), element_field="qual_level_id"),

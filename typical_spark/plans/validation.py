@@ -149,7 +149,10 @@ class ValidationPlan:
         stack = F.explode(
             F.map_from_arrays(
                 F.array(*[F.lit(c) for c in cids]),
-                F.array(*[F.col(c) for c in cids]),
+                # backticks: check ids may contain dots (e.g. the array-
+                # element checks' "elements.subject_not_null"), which a
+                # bare F.col would parse as a struct accessor
+                F.array(*[F.col(f"`{c}`") for c in cids]),
             )
         )
         return (

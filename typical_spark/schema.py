@@ -56,7 +56,7 @@ def spec_to_structtype(spec: TableSpec) -> T.StructType:
             root, _ = fs.name.split(".", 1)
             nested.setdefault(root, []).append(fs)
         else:
-            dtype = fs.dtype if not fs.dtype.startswith("array<struct<...") else "array<string>"
+            dtype = fs.dtype
             top[fs.name] = T.StructField(
                 fs.name, T._parse_datatype_string(dtype), nullable=fs.nullable
             )

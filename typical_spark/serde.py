@@ -32,17 +32,33 @@ def iso_date(col: Column) -> Column:
 def iso_duration_from_seconds(col: Column) -> Column:
     """total seconds -> ISO-8601 duration "PnDTnHnMnS" (reference
     util.py:726-757 timedelta isoformat). Negative durations prefix '-'."""
-    total = col.cast("long")
+    total = col.cast("double")
     a = F.abs(total)
-    d, rem = (a / 86400).cast("long"), a % 86400
+    # microsecond-exact fraction (the parse twin iso_duration_seconds
+    # accepts 'PT0.5S'; an earlier long cast silently truncated it, so
+    # serialize(parse(x)) lost sub-second precision)
+    whole0 = F.floor(a).cast("long")
+    frac_us0 = F.round((a - whole0) * 1e6).cast("long")
+    whole = whole0 + (frac_us0 / 1000000).cast("long")  # carry on .9999995+
+    frac_us = frac_us0 % 1000000
+    d, rem = (whole / 86400).cast("long"), whole % 86400
     h, m, s = (rem / 3600).cast("long"), ((rem % 3600) / 60).cast("long"), rem % 60
+    frac_str = F.when(
+        frac_us > 0,
+        F.concat(
+            F.lit("."),
+            F.regexp_replace(
+                F.lpad(frac_us.cast("string"), 6, "0"), "0+$", ""
+            ),
+        ),
+    ).otherwise(F.lit(""))
     body = F.concat(
         F.lit("P"),
         F.when(d > 0, F.concat(d.cast("string"), F.lit("D"))).otherwise(F.lit("")),
         F.lit("T"),
         F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(F.lit("")),
         F.when(m > 0, F.concat(m.cast("string"), F.lit("M"))).otherwise(F.lit("")),
-        F.concat(s.cast("string"), F.lit("S")),
+        F.concat(s.cast("string"), frac_str, F.lit("S")),
     )
     return F.when(col.isNull(), F.lit(None).cast("string")).when(
         total < 0, F.concat(F.lit("-"), body)
