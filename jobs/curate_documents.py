@@ -90,6 +90,7 @@ def main(argv=None) -> int:
     from typical_spark.operators.dedup import (
         minhash_near_duplicates,
         near_dup_survivors,
+        release_cache,
     )
     from typical_spark.operators.packing import pack_sequences
     from typical_spark.operators.sampling import hash_split, stratified_sample
@@ -108,6 +109,8 @@ def main(argv=None) -> int:
     # bound the lineage once
     kept = kept.localCheckpoint()
     counts["after_dedup"] = kept.count()
+    # survivors are materialized -> the minhash shingle cache is done
+    release_cache(pairs)
 
     if args.min_logprob is not None:
         lm = bigram_logprob_score(kept, args.id_col, args.text_col)

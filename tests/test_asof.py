@@ -111,3 +111,14 @@ def test_matches_pandas_merge_asof(spark):
         for lid, rid in want.items():
             want_v = None if pd.isna(rid) else int(rid)
             assert got[lid] == want_v, (direction, tol, lid, rid, got[lid])
+
+
+def test_prefix_collision_raises(spark, frames):
+    left, right = frames
+    # left already carries a column named like a prefixed right payload
+    clash = left.withColumnRenamed("pid", "r_cid")
+    with pytest.raises(ValueError, match="collision.*r_cid"):
+        asof_join(clash, right, by=["user"])
+    # a different prefix resolves it
+    out = asof_join(clash, right, by=["user"], right_prefix="right_")
+    assert "right_cid" in out.columns and out.count() == left.count()

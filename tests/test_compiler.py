@@ -54,6 +54,35 @@ def test_number_kernels(spark, checks, dtype, values, expected):
     assert run_check(spark, dtype, checks, values) == expected
 
 
+def test_number_bounds_exact_above_2p53(spark):
+    """Bounds on bigint values compare NATIVELY — a blanket
+    try_cast('double') view would round 2^53+1 and 2^53+2 to the same
+    double and merge adjacent bounds (ADVICE r3: typed columns must keep
+    exact comparisons; the cast is only for untyped/string carriers)."""
+    from typical_spark.specs import ArrayElementsCheck
+
+    big = (1 << 53) + 1  # rounds DOWN to 2^53 as a double
+    # named bigint column: ge = big+1 must flag big but not big+1
+    got = run_check(
+        spark, "bigint", [NumberCheck(ge=big + 1)], [big, big + 1, None]
+    )
+    assert got == {(0, "number_range")}
+    # array<bigint> elements (the scalar_violation_pred path): same bound
+    got = run_check(
+        spark, "array<bigint>",
+        [ArrayElementsCheck(inner=NumberCheck(ge=big + 1))],
+        [[big], [big + 1]],
+    )
+    assert got == {(0, "elements_number_range")}
+    # untyped carrier keeps the safe try_cast path (no crash on junk)
+    got = run_check(
+        spark, "array<string>",
+        [ArrayElementsCheck(inner=NumberCheck(ge=0))],
+        [["1", "junk"], ["2"]],
+    )
+    assert got == {(0, "elements_number_range")}
+
+
 TEXT_CASES = [
     ([TextCheck(min_length=2, max_length=4)], "string",
      ["ab", "abcd", "a", "abcde", None, ""],

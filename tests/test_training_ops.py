@@ -356,10 +356,25 @@ def test_multimodal_feature_extraction_stub(spark):
     assert meta[2][0] == "image/jpeg"
     assert meta[3][0] == "application/octet-stream"
 
+    # operator must not mutate shared session state: Arrow batch sizing
+    # is re-chunked inside the kernel, never set on the live session
+    # (which would silently resize every later pandas-UDF operator)
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(arrow_key, None)
     feats = extract_features(df, decoder=fake_decode, feat_dim=8).collect()
+    assert spark.conf.get(arrow_key, None) == before
     by_id = {r["media_id"]: r for r in feats}
     assert all(by_id[i]["decode_ok"] for i in (1, 2, 3))
     assert len(by_id[1]["feature"]) == 8
+    # internal re-chunking (1-row output chunks) loses no rows and keeps
+    # per-row results identical
+    tiny = extract_features(
+        df, decoder=fake_decode, feat_dim=8,
+        target_partition_mb=1, avg_payload_mb=1000.0,  # -> 1 row/chunk
+    ).collect()
+    assert {r["media_id"]: r["feature"] for r in tiny} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
     # deterministic: same payload -> same features
     feats2 = extract_features(df, decoder=fake_decode, feat_dim=8).collect()
     assert {r["media_id"]: r["feature"] for r in feats2} == {
@@ -528,3 +543,29 @@ def test_tfidf_top_terms_known_values(spark):
     assert got[("d3", 1)]["tf"] == 2 and got[("d3", 1)]["df"] == 2
     assert ("d4", 1) not in got           # NULL text contributes nothing
     assert len(got) == 6
+
+
+def test_minhash_release_cache(spark, docs_df):
+    """Operators that persist intermediates on the caller's behalf expose
+    them via release_cache (ADVICE r3: repeated invocations in one
+    session otherwise accumulate executor storage)."""
+    from typical_spark.operators.dedup import (
+        minhash_near_duplicates,
+        release_cache,
+    )
+
+    pairs = minhash_near_duplicates(docs_df, "doc_id", "text")
+    pairs.count()  # materialize -> shingle cache is populated
+    owned = getattr(pairs, "_owned_cache", [])
+    assert owned, "minhash result should carry its persisted shingle table"
+    assert all(
+        c.storageLevel.useMemory or c.storageLevel.useDisk for c in owned
+    )
+    release_cache(pairs)
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+        for c in owned
+    )
+    # idempotent + no-op on cache-less results
+    release_cache(pairs)
+    release_cache(docs_df)

@@ -48,22 +48,54 @@ from typical_spark.specs import (
 )
 
 
-def scalar_violation_pred(chk: Check, col: Column) -> Column:
+_NUMERIC_DDLS = {
+    "tinyint", "byte", "smallint", "short", "int", "integer",
+    "bigint", "long", "float", "real", "double",
+}
+
+
+def _is_numeric_ddl(ddl: str | None) -> bool:
+    if ddl is None:
+        return False
+    d = ddl.strip().lower()
+    return d in _NUMERIC_DDLS or d.startswith("decimal")
+
+
+def _array_elem_ddl(ddl: str | None) -> str | None:
+    """'array<X>' -> 'X' (None when the ddl isn't a plain array)."""
+    if ddl is None:
+        return None
+    s = ddl.strip()
+    if s.lower().startswith("array<") and s.endswith(">"):
+        return s[6:-1].strip()
+    return None
+
+
+def scalar_violation_pred(
+    chk: Check, col: Column, value_ddl: str | None = None
+) -> Column:
     """Violation predicate for a scalar check against an arbitrary value
     expression (used for array elements via higher-order lambdas, where the
     value is a lambda variable, not a named column). Null short-circuits
-    every check except NotNull (reference common.py:272-287)."""
+    every check except NotNull (reference common.py:272-287).
+
+    value_ddl: the value's KNOWN Spark type, when the caller has one
+    (array element type, map value type, the named column's declared
+    dtype). Known-numeric/timestamp values compare natively — a blanket
+    try_cast('double') loses exactness above 2^53 on bigint and at high
+    decimal scale, so `ge=2**53+2` would silently pass 2**53+1."""
     nn = col.isNotNull()
     if isinstance(chk, NotNullCheck):
         return col.isNull()
     if isinstance(chk, NumberCheck):
-        # try_cast first: this path also runs against UNTYPED value
-        # expressions (union members, tagged cases, map values, array
-        # elements over string columns), where a bare `col >= lit(0)`
-        # would ANSI-cast the string and crash the job on 'abc' — the
-        # same hazard compile_check's try_cast handles for named
-        # columns. Unparseable -> the member is violated, never a crash.
-        num = col.try_cast("double")
+        # Untyped value expressions (union members, tagged cases, map
+        # values, array elements over string columns) try_cast first: a
+        # bare `col >= lit(0)` would ANSI-cast the string and crash the
+        # job on 'abc' — the same hazard compile_check's try_cast handles
+        # for named columns. Unparseable -> the member is violated, never
+        # a crash. Values already numeric by declared type skip the cast
+        # and compare exactly (no double rounding).
+        num = col if _is_numeric_ddl(value_ddl) else col.try_cast("double")
         ok = F.lit(True)
         if chk.gt is not None:
             ok = ok & (num > F.lit(chk.gt))
@@ -98,11 +130,14 @@ def scalar_violation_pred(chk: Check, col: Column) -> Column:
     if isinstance(chk, UnionCheck):
         viol = F.lit(True)
         for m in chk.members:
-            viol = viol & scalar_violation_pred(m, col)
+            viol = viol & scalar_violation_pred(m, col, value_ddl)
         return nn & viol
     if isinstance(chk, TimestampRangeCheck):
         # same ANSI hazard as NumberCheck: try_cast, unparseable = violated
-        ts = col.try_cast("timestamp")
+        known_ts = value_ddl is not None and value_ddl.strip().lower() in (
+            "timestamp", "timestamp_ntz", "timestamp_ltz", "date"
+        )
+        ts = col if known_ts else col.try_cast("timestamp")
         ok = F.lit(True)
         if chk.min_ts is not None:
             ok = ok & (ts >= F.lit(chk.min_ts))
@@ -281,8 +316,13 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
                           observed=F.to_json(bad)))
         if chk.values_check is not None:
             inner = chk.values_check
+            try:
+                val_ddl = _split_map_dtype(fs.dtype)[1]
+            except ValueError:
+                val_ddl = None
             badv = F.filter(
-                F.map_values(col), lambda v: scalar_violation_pred(inner, v)
+                F.map_values(col),
+                lambda v: scalar_violation_pred(inner, v, val_ddl),
             )
             out.append(cc(nn & (F.size(badv) > 0), check_id="map_values",
                           expected=f"all values: {inner.describe()}",
@@ -301,7 +341,9 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
         out = []
         known_vals = [v for v, _ in chk.cases]
         for tag_value, inner in chk.cases:
-            cond = tag.eqNullSafe(F.lit(tag_value)) & scalar_violation_pred(inner, col)
+            cond = tag.eqNullSafe(F.lit(tag_value)) & scalar_violation_pred(
+                inner, col, fs.dtype
+            )
             out.append(
                 CompiledCheck(
                     column=name,
@@ -312,7 +354,9 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
                 )
             )
         if chk.else_check is not None:
-            cond = ~tag.isin(known_vals) & scalar_violation_pred(chk.else_check, col)
+            cond = ~tag.isin(known_vals) & scalar_violation_pred(
+                chk.else_check, col, fs.dtype
+            )
             out.append(
                 CompiledCheck(
                     column=name,
@@ -335,16 +379,20 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
         return out
 
     if isinstance(chk, ArrayElementsCheck):
+        # element type is known from the declared array ddl (struct-field
+        # elements keep the untyped path: their ddl isn't tracked here)
+        elem_ddl = None if chk.element_field else _array_elem_ddl(fs.dtype)
+
         def elem_viol(x):
             v = x[chk.element_field] if chk.element_field else x
-            return scalar_violation_pred(chk.inner, v)
+            return scalar_violation_pred(chk.inner, v, elem_ddl)
 
         failing = F.filter(col, elem_viol)
         return [cc(nn & (F.size(failing) > 0),
                    observed=F.size(failing).cast("string"))]
 
     if isinstance(chk, (FormatCheck, DecimalCheck, UnionCheck)):
-        return [cc(scalar_violation_pred(chk, col))]
+        return [cc(scalar_violation_pred(chk, col, fs.dtype))]
 
     if isinstance(chk, CustomCheck):
         from typical_spark.specs import get_custom_check

@@ -59,6 +59,18 @@ def asof_join(
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     keys = list(by)
     payload_cols = [c for c in right.columns if c not in keys]
+    # a left column named like a prefixed right column would silently
+    # duplicate in the output (pandas merge_asof raises on suffix
+    # clashes for the same reason) — fail loudly instead
+    clashes = sorted(
+        c for c in payload_cols if f"{right_prefix}{c}" in left.columns
+    )
+    if clashes:
+        raise ValueError(
+            "asof_join output column collision: left already has "
+            f"{[right_prefix + c for c in clashes]}; pass a different "
+            "right_prefix or rename the left columns"
+        )
     # NULL stand-in structs are cast to the DataType OBJECT — a
     # simpleString()/DDL round-trip would choke on column names that
     # need quoting (spaces, commas)

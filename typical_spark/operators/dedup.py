@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from typical_spark.functions.text_analysis import normalize_text, word_shingles
 
 
+def release_cache(result: DataFrame) -> None:
+    """Unpersist the intermediate tables a dedup operator cached on
+    behalf of `result` (the persisted shingle tables of the minhash
+    family). Call AFTER materializing the result (write/collect/count):
+    the cache exists precisely so the shingle pass runs once across the
+    signature and verify branches, so unpersisting earlier would
+    re-shingle per branch. No-op for results that own no cache. Repeated
+    operator invocations in one long-lived session should release, or
+    executor storage accumulates one shingle table per call."""
+    for cached in getattr(result, "_owned_cache", []):
+        cached.unpersist(blocking=False)
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Per-document text kernels (shingling, hashing) are CPU-bound
     interpreted higher-order functions: a small single-file input (1
@@ -150,7 +163,11 @@ def _shingle_sig_bands(
     - sh (persisted): the shingle table; it feeds multiple plan
       branches (signature + exact-verify sides) — the analog of the
       "write the signature table first" step in production LSH dedup
-      (recomputing shingling per branch tripled the cost).
+      (recomputing shingling per branch tripled the cost). LIFECYCLE:
+      the public operators attach it to their result as _owned_cache;
+      callers unpersist via release_cache(result) once the result is
+      materialized (long-lived sessions leak one cached table per call
+      otherwise).
     - banded: narrow (_id, band, bhash) rows. Signature via explode +
       n_hashes min() aggregates — whole-stage-codegen'd with map-side
       partial combine, an order of magnitude faster than interpreted
@@ -275,6 +292,7 @@ def minhash_near_duplicates(
     )
     if star is not None:
         out = out.unionAll(star)
+    out._owned_cache = [sh]  # caller releases via release_cache(out)
     return out
 
 
@@ -648,7 +666,7 @@ def minhash_cross_duplicates(
     shr = sh_cor.select(
         F.col("_id").alias("corpus_id"), F.col("_sh").alias("sh_c")
     )
-    return (
+    out = (
         cand.join(shl, "new_id")
         .join(shr, "corpus_id")
         .withColumn(
@@ -661,3 +679,5 @@ def minhash_cross_duplicates(
         .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
         .select("new_id", "corpus_id", "jaccard")
     )
+    out._owned_cache = [sh_new, sh_cor]  # release_cache(out) after use
+    return out

@@ -66,34 +66,42 @@ def extract_features(
     soft per-row (decode_ok=False) without poisoning its whole batch.
     """
     src = media.select(id_col, payload_col)
-    # bytes-aware batch sizing: cap rows per Arrow batch so a batch stays
-    # ~target_partition_mb regardless of payload size (a fixed row count
-    # would blow memory on large payloads)
+    # bytes-aware batch sizing: cap rows per OUTPUT chunk so decoded
+    # features + payloads held per step stay ~target_partition_mb
+    # regardless of payload size (a fixed row count would blow memory on
+    # large payloads). The cap is applied by RE-CHUNKING inside the
+    # kernel — NOT by setting spark.sql.execution.arrow.maxRecordsPerBatch
+    # on the live session, which would permanently change Arrow batch
+    # sizing for every later pandas-UDF operator sharing the session (a
+    # conf read at execution time, so save-restore around a lazy plan
+    # build cannot scope it either). The INPUT Arrow batch size is the
+    # session-level knob: set maxRecordsPerBatch at session build (see
+    # session.get_spark extra_conf) when payloads are large enough that
+    # even one default-sized input batch overflows executor memory.
     rows_per_batch = max(int(target_partition_mb / max(avg_payload_mb, 0.01)), 1)
-    spark = src.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
-    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, feats, dims, oks = [], [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                ids.append(mid)
-                try:
-                    v = decoder(bytes(payload), feat_dim)
-                    feats.append([float(x) for x in v])
-                    dims.append(len(v))
-                    oks.append(True)
-                except NotImplementedError:
-                    raise
-                except Exception:
-                    feats.append(None)
-                    dims.append(0)
-                    oks.append(False)
-            yield pd.DataFrame(
-                {"media_id": ids, "feature": feats, "feat_dim": dims, "decode_ok": oks}
-            )
+            for lo in range(0, len(pdf), rows_per_batch):
+                chunk = pdf.iloc[lo:lo + rows_per_batch]
+                ids, feats, dims, oks = [], [], [], []
+                for mid, payload in zip(chunk[id_col], chunk[payload_col]):
+                    ids.append(mid)
+                    try:
+                        v = decoder(bytes(payload), feat_dim)
+                        feats.append([float(x) for x in v])
+                        dims.append(len(v))
+                        oks.append(True)
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        feats.append(None)
+                        dims.append(0)
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {"media_id": ids, "feature": feats, "feat_dim": dims,
+                     "decode_ok": oks}
+                )
 
     return src.mapInPandas(batches, FEATURE_SCHEMA)
 

@@ -56,6 +56,12 @@ OUT_SCHEMA = (
     "conv_id string, turn_idx int, check_id string, observed string, "
     "expected string"
 )
+# COMPATIBILITY: pend_ts/last_seen changed from double seconds to long
+# epoch-MICROS (round 3, commit 0c9da5e — the Arrow tz fix). Stateful
+# streaming checkpoints written before that change hold the old state
+# schema and will fail Spark's state-schema compatibility check on
+# resume; discard the old checkpoint directory (the operator is
+# deterministic, so reprocessing the source rebuilds identical output).
 STATE_SCHEMA = "pend_turn array<int>, pend_ts array<long>, last_seen long"
 
 SESSION_GAP_S = 1.0  # flush when watermark passes last activity + gap
