@@ -280,6 +280,63 @@ def test_ivf_recall(spark, emb_df):
     assert approx[0] == 42
 
 
+def test_ivf_uniform_fit_on_sharded_corpus(spark, tmp_path):
+    """Centroids must be fitted on a UNIFORM sample of the corpus, not
+    the first partitions' rows (the old `limit(sample_size)` pull). On a
+    source-sharded corpus (rows sorted by cluster — one source per file
+    region) a head fit models only the first shard: out-of-sample shards
+    collapse into catch-all cells, so a probe scans most of the corpus —
+    the index quietly degrades toward brute force (recall survives only
+    BECAUSE selectivity is gone). The hash-ordered fit keeps both recall
+    and per-probe selectivity."""
+    from typical_spark.operators.similarity import _kmeans_fit
+
+    rng = np.random.default_rng(3)
+    d, per, n_cells, nprobe = 16, 500, 8, 4
+    centers = rng.standard_normal((4, d)) * 3.0
+    pts = np.concatenate(
+        [centers[c] + rng.standard_normal((per, d)) for c in range(4)]
+    )  # SORTED by cluster: the source-sharded layout
+    n = len(pts)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in pts]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = centers[3] + rng.standard_normal(d) * 0.1
+
+    idx = IVFIndex.build(
+        df, n_cells=n_cells, sample_size=300, seed=42,
+        persist_path=str(tmp_path / "ivf"),
+    )
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+    got = {r["vec_id"] for r in idx.query(q, k=10, nprobe=nprobe).collect()}
+    assert len(exact & got) >= 9  # recall@10 >= 0.9
+
+    # engine-side probe selectivity: rows scanned by the nprobe cells
+    dq = ((idx.centroids - np.asarray(q)[None, :]) ** 2).sum(1)
+    cells = [int(c) for c in np.argsort(dq, kind="stable")[:nprobe]]
+    scanned_uniform = (
+        idx.assigned.where(F.col("cell_id").isin(cells)).count() / n
+    )
+    assert scanned_uniform <= 0.35
+
+    # replay the OLD biased fit (head rows = first shard only) in numpy:
+    # its probe must scan far more of the corpus for the same query
+    cent_b = _kmeans_fit(pts[:300].astype(np.float64), n_cells, seed=42)
+    assign_b = ((pts[:, None, :] - cent_b[None, :, :]) ** 2).sum(-1).argmin(1)
+    dq_b = ((cent_b - np.asarray(q)[None, :]) ** 2).sum(1)
+    cells_b = np.argsort(dq_b, kind="stable")[:nprobe]
+    scanned_biased = float(np.isin(assign_b, cells_b).mean())
+    assert scanned_biased > 2.0 * scanned_uniform
+
+    # persist_path materialization: the probe is a PARTITION-PRUNED scan
+    plan = idx.query(q, k=10, nprobe=nprobe)._sc._jvm.PythonSQLUtils.explainString(
+        idx.query(q, k=10, nprobe=nprobe)._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell_id" in pf[0]
+
+
 def test_embedding_near_duplicates(spark, emb_df):
     df, base = emb_df
     pairs = embedding_near_duplicates(

@@ -107,9 +107,39 @@ class IVFIndex:
         n_cells: int = 16,
         sample_size: int = 10_000,
         seed: int = 42,
+        persist_path: str | None = None,
     ) -> "IVFIndex":
+        """Fit coarse centroids on a UNIFORM deterministic sample and
+        materialize per-row cell assignments.
+
+        The fit sample is the `sample_size` rows with the smallest
+        engine-native id hash (the hash_bucket/hash_sample family) — a
+        uniform function of the ids alone, independent of partition
+        layout. An earlier `df.limit(sample_size)` pulled whichever
+        partitions answered first (typically the first file), so on a
+        corpus sharded by source/date the centroids modeled ONE shard
+        and probe recall quietly degraded everywhere else. The plan is
+        TakeOrderedAndProject: per-partition top-k heaps + driver merge,
+        no shuffle of the table.
+
+        persist_path: when set, cell assignments are written
+        partitionBy('cell_id') and read back, so `query()`'s
+        cell_id.isin(...) filter becomes a PARTITION-PRUNED scan — the
+        disk layout an IVF probe needs at 10^11 vectors (on Iceberg:
+        PARTITIONED BY (cell_id) or a bucket transform). Without it the
+        assignment stays a lazy in-memory plan (fine for one-off use)."""
+        from typical_spark.operators.sampling import hash_bucket
+
+        h = hash_bucket(F.col(id_col), seed=seed, n_buckets=1 << 62)
         sample = np.array(
-            [r[0] for r in df.select(vec_col).limit(sample_size).collect()],
+            [
+                r[0]
+                for r in df.select(F.col(vec_col), h.alias("_h"))
+                .where(F.col(vec_col).isNotNull())
+                .orderBy(F.col("_h").asc())
+                .limit(sample_size)
+                .collect()
+            ],
             dtype=np.float64,
         )
         cent = _kmeans_fit(sample, n_cells, seed=seed)
@@ -128,14 +158,19 @@ class IVFIndex:
         assigned = df.withColumn(
             "cell_id", F.array_position(dists, F.array_min(dists)).cast("int") - 1
         )
-        # At scale: .write.partitionBy('cell_id') / Iceberg bucket so probes
-        # are partition-pruned scans; kept in-memory for the local harness.
+        if persist_path is not None:
+            assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+                persist_path
+            )
+            assigned = df.sparkSession.read.parquet(persist_path)
         return cls(cent, assigned, id_col, vec_col)
 
     def query(self, query_vec, k: int = 10, nprobe: int = 4) -> DataFrame:
         q = np.asarray(query_vec, dtype=np.float64)
         d = ((self.centroids - q[None, :]) ** 2).sum(1)
         cells = [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
+        # over a persist_path index this filter is a partition-pruned
+        # scan (PartitionFilters on cell_id — plan-asserted in tests)
         probed = self.assigned.where(F.col("cell_id").isin(cells))
         return cosine_topk(probed, query_vec, self.id_col, self.vec_col, k)
 
