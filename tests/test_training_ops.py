@@ -626,3 +626,54 @@ def test_minhash_release_cache(spark, docs_df):
     # idempotent + no-op on cache-less results
     release_cache(pairs)
     release_cache(docs_df)
+
+
+def test_span_duplicates_golden(spark):
+    """Sequence-level exact dedup (operators/spans.py): shared grid
+    windows are detected across documents; keep-first strip rewrites
+    later occurrences out (reference keep-first array-dedup contract,
+    typic/constraints/array.py:30-87, at corpus granularity)."""
+    from typical_spark.operators.spans import (
+        span_duplicates,
+        strip_duplicate_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta one two three four"),
+        (2, "Alpha, Beta; GAMMA delta! five six seven eight"),  # normalized dup
+        (3, "nine ten eleven twelve"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dups = span_duplicates(df, "doc_id", "text", span_tokens=4).collect()
+    got = {(r["doc_id"], r["span_idx"]): r for r in dups}
+    assert set(got) == {(1, 0), (2, 0)}
+    assert all(r["n_docs_sharing"] == 2 for r in got.values())
+    assert got[(1, 0)]["start_token"] == 0 and got[(1, 0)]["end_token"] == 4
+
+    clean = {r["doc_id"]: r
+             for r in strip_duplicate_spans(df, "doc_id", "text", 4).collect()}
+    assert set(clean) == {1, 2, 3}  # NULL/empty docs yield no windows
+    assert clean[1]["n_dropped"] == 0
+    assert clean[1]["clean_text"] == "alpha beta gamma delta one two three four"
+    assert clean[2]["n_spans"] == 2 and clean[2]["n_dropped"] == 1
+    assert clean[2]["clean_text"] == "five six seven eight"
+    assert clean[3]["clean_text"] == "nine ten eleven twelve"  # tail < span
+
+
+def test_span_strip_within_doc_and_tail(spark):
+    from typical_spark.operators.spans import (
+        span_duplicates,
+        strip_duplicate_spans,
+    )
+
+    # within-document repetition: detector needs >=2 DISTINCT docs, but
+    # keep-first strip still drops the later occurrence
+    df = spark.createDataFrame(
+        [(7, "alpha beta alpha beta gamma")], "doc_id long, text string"
+    )
+    assert span_duplicates(df, "doc_id", "text", span_tokens=2).count() == 0
+    r = strip_duplicate_spans(df, "doc_id", "text", 2).collect()[0]
+    assert r["n_spans"] == 3 and r["n_dropped"] == 1
+    assert r["clean_text"] == "alpha beta gamma"  # tail window kept

@@ -1,0 +1,182 @@
+"""Sequence-level (span) exact deduplication.
+
+Whole-document near-dup (minhash/simhash, dedup.py) misses the other
+dominant duplication mode in web corpora: repeated SPANS — boilerplate
+headers/footers, license blocks, navigation text — pasted into otherwise
+distinct documents. The standard counter (suffix-array / "dedup any
+50-token duplicate" style) removes the repeated span, not the document.
+This module is that family's scalable exact-window form: the reference's
+keep-first array-dedup contract (typic/constraints/array.py:30-87)
+applied at ELEMENT granularity — the corpus is an array of token
+windows, and duplicates of a window keep only their first occurrence.
+
+Spark-first shape, same discipline as dedup.py — never all-pairs:
+
+    normalize -> token windows of span_tokens (non-overlapping,
+    tail kept) -> md5(window) -> groupBy(hash) with map-side partial
+    distinct-count -> join narrow span metadata back
+
+Shuffles move only (32-byte hash, doc_id, span_idx) rows; window TEXT
+never rides a shuffle except in `strip_duplicate_spans`, which rebuilds
+cleaned documents and therefore must move each kept window's text once
+(inherent to rewriting the corpus; the detector + stats views are the
+metadata-only twins). Non-overlapping windows make reconstruction exact:
+kept windows concatenated in span order ARE the cleaned normalized
+document. At 100 TB the group-by key is 8-byte xxhash64 instead of md5
+hex (same plan; md5 here because the contract oracle must reproduce the
+grouping in another engine, exactly like dedup.exact_duplicates).
+
+Windowing is FIXED-GRID (span boundaries at multiples of span_tokens),
+so two documents sharing a span detect it only when aligned to the same
+grid offset — the classic cost of grid chunking vs suffix arrays. That
+is the right trade at scale (suffix arrays are superlinear memory and
+resist distribution); boilerplate repeats overwhelmingly start at
+document or paragraph heads, which the grid catches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from typical_spark.functions.text_analysis import _bind, split_normalized
+from typical_spark.operators.dedup import _ensure_parallelism
+
+
+def _span_rows(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int
+) -> DataFrame:
+    """(doc_id, span_idx, start_token, end_token, _span) token windows.
+
+    The token split is let-bound (`_bind`) so the 3-regex normalization
+    runs ONCE per document, not once per window (higher-order-function
+    lambdas re-evaluate captured expressions per element — the measured
+    ~100x shingling trap, text_analysis.py:137-144). Empty/NULL-text
+    documents yield no windows; `sequence()` is only built for n>=1
+    windows (sequence(0,-1) would count DOWN). Output order columns are
+    bigint so the oracle's DuckDB types line up."""
+    if span_tokens <= 0:
+        raise ValueError(f"span_tokens must be positive, got {span_tokens}")
+    w = F.lit(int(span_tokens))
+
+    def windows(words: Column) -> Column:
+        n = F.size(words)
+        n_spans = F.ceil(n / w.cast("double")).cast("bigint")
+        # guard BEFORE building the range: sequence(0, -1) counts DOWN
+        # (a NULL/empty split must yield no windows, not window -1), and
+        # split('') == [''] must not produce an empty pseudo-span that
+        # would group all blank documents as duplicates of each other
+        return F.when(
+            (n_spans >= 1) & (F.element_at(words, 1) != ""),
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), n_spans - 1),
+                lambda i: F.struct(
+                    i.alias("span_idx"),
+                    (i * w).alias("start_token"),
+                    F.least((i + 1) * w, n.cast("bigint")).alias("end_token"),
+                    F.concat_ws(
+                        " ", F.slice(words, (i * w + 1).cast("int"), span_tokens)
+                    ).alias("_span"),
+                ),
+            ),
+        )
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        _bind(split_normalized(F.col(text_col)), windows).alias("_ww"),
+    )
+    return base.select("doc_id", F.explode("_ww").alias("s")).select(
+        "doc_id", "s.span_idx", "s.start_token", "s.end_token", "s._span"
+    )
+
+
+def span_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Every window of every document whose text is shared by >= min_docs
+    DISTINCT documents (the detector; feed its output to curation policy
+    or to `strip_duplicate_spans` for the rewrite).
+
+    Output: (doc_id, span_idx, start_token, end_token, n_docs_sharing).
+    Token positions index the NORMALIZED token stream (the dedup space),
+    not raw character offsets.
+
+    Plan: one narrow shuffle of (hash, doc_id) for the distinct-count
+    (partial aggregation map-side), one equi-join of the narrow span
+    table back to the >=min_docs groups — broadcastable when boilerplate
+    is rare, AQE-handled when it is not. No candidate-pair explosion at
+    any duplication rate: a span repeated k times contributes k rows,
+    never k^2."""
+    spans = _span_rows(df, id_col, text_col, span_tokens)
+    keyed = spans.select(
+        "doc_id", "span_idx", "start_token", "end_token",
+        F.md5(F.col("_span")).alias("_h"),
+    )
+    groups = (
+        keyed.groupBy("_h")
+        .agg(F.countDistinct("doc_id").alias("n_docs_sharing"))
+        .where(F.col("n_docs_sharing") >= int(min_docs))
+    )
+    return keyed.join(groups, "_h").select(
+        "doc_id", "span_idx", "start_token", "end_token", "n_docs_sharing"
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Keep-first span-level dedup rewrite: within each group of
+    identical windows, only the occurrence with the smallest
+    (doc_id, span_idx) survives; every other occurrence is dropped from
+    its document, and the survivors are re-concatenated in span order.
+    This is the reference's keep-first array-dedup semantics
+    (typic/constraints/array.py:30-87) with the corpus as the array —
+    the first document to use a boilerplate block keeps it, later
+    documents lose it.
+
+    Output: (doc_id, n_spans, n_dropped, clean_text), one row per
+    document that produced >=1 window; clean_text is the kept windows of
+    the NORMALIZED token stream joined by single spaces (empty when
+    every window was dropped). min(struct(doc_id, span_idx)) gives the
+    keeper per group in one map-side-combinable aggregate — no window
+    sort, no quadratic membership; the only wide shuffle is the final
+    per-document regroup carrying each kept window's text once."""
+    spans = _span_rows(df, id_col, text_col, span_tokens)
+    keyed = spans.withColumn("_h", F.md5(F.col("_span")))
+    keepers = keyed.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("_keep")
+    )
+    flagged = keyed.join(keepers, "_h").withColumn(
+        "_kept",
+        (F.col("doc_id") == F.col("_keep.doc_id"))
+        & (F.col("span_idx") == F.col("_keep.span_idx")),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(~F.col("_kept"), 1).otherwise(0)).alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct("span_idx", F.col("_span").alias("t")),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_spans", "n_dropped", "clean_text")
+    )
