@@ -72,6 +72,12 @@ def main(argv=None) -> int:
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--length-col", default="n_chars",
                     help="token/length column used for packing")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="stage-level resume directory: completed stages "
+                         "(dedup_survivors, lm_gated, rebalanced) reload "
+                         "from parquet instead of recomputing")
+    ap.add_argument("--fail-after-stage", default=None,
+                    help=argparse.SUPPRESS)  # kill-and-resume test hook
     args = ap.parse_args(argv)
 
     # getOrCreate() would apply runtime confs to an ALREADY-RUNNING
@@ -90,7 +96,6 @@ def main(argv=None) -> int:
     from typical_spark.operators.dedup import (
         minhash_near_duplicates,
         near_dup_survivors,
-        release_cache,
     )
     from typical_spark.operators.packing import pack_sequences
     from typical_spark.operators.sampling import hash_split, stratified_sample
@@ -101,44 +106,86 @@ def main(argv=None) -> int:
         else spark.read.format("iceberg").load(args.input[len("iceberg://"):])
     counts = {"input": docs.count()}
 
-    pairs = minhash_near_duplicates(
-        docs, args.id_col, args.text_col, jaccard_threshold=args.jaccard
-    )
-    kept = near_dup_survivors(docs, args.id_col, pairs)
-    # survivors feed three downstream scans (LM join, split, packing):
-    # bound the lineage once
-    kept = kept.localCheckpoint()
+    ck = None
+    if args.checkpoint_dir:
+        from typical_spark.checkpoint import StageCheckpoint
+        ck = StageCheckpoint(spark, args.checkpoint_dir)
+
+    def run_stage(name, thunk, bound=False):
+        """Materialize one pipeline stage. With --checkpoint-dir the
+        stage goes through StageCheckpoint: written to parquet once,
+        reloaded (not recomputed) on resume. Without it, behavior is the
+        classic in-memory pipeline; `bound=True` stages cut lineage with
+        localCheckpoint (they feed several downstream scans)."""
+        if ck is not None:
+            df, resumed = ck.stage(name, thunk)
+            if resumed:
+                counts[name + "_resumed"] = True
+        else:
+            df = thunk()
+            if bound:
+                owned = list(getattr(df, "_owned_cache", []))
+                df = df.localCheckpoint()
+                for c in owned:  # stage materialized -> caches are done
+                    c.unpersist(blocking=False)
+        if args.fail_after_stage == name:
+            raise RuntimeError(f"injected failure after stage {name!r}")
+        return df
+
+    def _dedup():
+        pairs = minhash_near_duplicates(
+            docs, args.id_col, args.text_col, jaccard_threshold=args.jaccard
+        )
+        kept = near_dup_survivors(docs, args.id_col, pairs)
+        # hand the shingle cache to the materializer for release
+        kept._owned_cache = list(getattr(pairs, "_owned_cache", []))
+        return kept
+
+    kept = run_stage("dedup_survivors", _dedup, bound=True)
     counts["after_dedup"] = kept.count()
-    # survivors are materialized -> the minhash shingle cache is done
-    release_cache(pairs)
 
     if args.min_logprob is not None:
-        lm = bigram_logprob_score(kept, args.id_col, args.text_col)
-        # LEFT join: docs with <2 tokens have no defined LM score and
-        # must not be silently deleted by the gate — they pass through
-        # (and are counted) rather than riding an inner join to /dev/null
-        kept = kept.join(lm.select(args.id_col, "avg_logprob", "ppl"),
-                         args.id_col, "left")
+        base = kept
+
+        def _lm_gate():
+            lm = bigram_logprob_score(base, args.id_col, args.text_col)
+            # LEFT join: docs with <2 tokens have no defined LM score
+            # and must not be silently deleted by the gate — they pass
+            # through rather than riding an inner join to /dev/null
+            joined = base.join(
+                lm.select(args.id_col, "avg_logprob", "ppl"),
+                args.id_col, "left",
+            )
+            return joined.where(
+                F.col("avg_logprob").isNull()
+                | (F.col("avg_logprob") >= args.min_logprob)
+            )
+
+        kept = run_stage("lm_gated", _lm_gate)
+        # every unscored doc passes the gate, so the output counts them
         counts["lm_unscored_kept"] = kept.where(
             F.col("avg_logprob").isNull()
         ).count()
-        kept = kept.where(
-            F.col("avg_logprob").isNull()
-            | (F.col("avg_logprob") >= args.min_logprob)
-        )
         counts["after_lm_gate"] = kept.count()
 
     strata = _parse_weights(args.strata)
     if strata:
-        # stratified_sample excludes NULL-stratum rows (no identity to
-        # rank within); a NULL lang is "undetected", not "drop me" —
-        # keep those rows whole and count them
-        null_lang = kept.where(F.col(args.lang_col).isNull())
-        counts["null_lang_kept"] = null_lang.count()
-        kept = stratified_sample(
-            kept, args.id_col, args.lang_col, strata,
-            default_fraction=args.default_fraction,
-        ).drop("stratum_n", "rank").unionByName(null_lang)
+        base2 = kept
+
+        def _rebalance():
+            # stratified_sample excludes NULL-stratum rows (no identity
+            # to rank within); a NULL lang is "undetected", not "drop
+            # me" — keep those rows whole
+            null_lang = base2.where(F.col(args.lang_col).isNull())
+            return stratified_sample(
+                base2, args.id_col, args.lang_col, strata,
+                default_fraction=args.default_fraction,
+            ).drop("stratum_n", "rank").unionByName(null_lang)
+
+        kept = run_stage("rebalanced", _rebalance)
+        counts["null_lang_kept"] = kept.where(
+            F.col(args.lang_col).isNull()
+        ).count()
         counts["after_rebalance"] = kept.count()
 
     def sub_target(name: str) -> str:

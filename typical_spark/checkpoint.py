@@ -122,3 +122,70 @@ class CheckpointedRun:
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(self.manifest_path)
+
+
+class StageCheckpoint:
+    """Stage-level resume for multi-stage pipelines (the curation job's
+    analog of CheckpointedRun's per-bucket manifest): each named stage's
+    output is materialized to <root>/<name> as parquet, and a
+    <name>.stage.json marker (row count, wall seconds) is committed only
+    AFTER the write succeeds. A re-run loads completed stages from disk
+    instead of recomputing them; a crash mid-write leaves no marker, so
+    that stage re-runs from scratch (mode=overwrite keeps the output
+    exactly-once).
+
+    This also serves the cost model at scale: resuming from the
+    materialized stage REPLACES the upstream lineage with a parquet
+    scan, so a restarted 10-stage curation run on 100 TB re-reads only
+    the last incomplete stage's input instead of recomputing the whole
+    DAG (the same reason production pipelines write each stage to the
+    lake; on Iceberg the stage table's snapshot is the marker)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _data_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _marker_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.stage.json")
+
+    def done(self, name: str) -> bool:
+        return os.path.exists(self._marker_path(name))
+
+    def completed(self) -> list[str]:
+        return sorted(
+            f[: -len(".stage.json")]
+            for f in os.listdir(self.root)
+            if f.endswith(".stage.json")
+        )
+
+    def stage(self, name: str, thunk) -> tuple[DataFrame, bool]:
+        """Return (stage output, resumed?). Runs `thunk()` and
+        materializes its DataFrame unless the stage already completed.
+        Intermediates the thunk's result cached on its own behalf (the
+        dedup family's _owned_cache) are unpersisted once the write has
+        materialized them."""
+        import json
+
+        if self.done(name):
+            return self.spark.read.parquet(self._data_path(name)), True
+        t0 = time.time()
+        df = thunk()
+        df.write.mode("overwrite").parquet(self._data_path(name))
+        for cached in getattr(df, "_owned_cache", []):
+            cached.unpersist(blocking=False)
+        out = self.spark.read.parquet(self._data_path(name))
+        marker = {
+            "stage": name,
+            "n_rows": out.count(),
+            "wall_s": time.time() - t0,
+            "finished_at": time.time(),
+        }
+        tmp = self._marker_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(marker, fh)
+        os.replace(tmp, self._marker_path(name))  # atomic commit
+        return out, False
