@@ -612,6 +612,81 @@ def ngram_jaccard(
     return out.drop("sh_a", "sh_b")
 
 
+def minhash_band_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable minhash index of a corpus: (shingles, banded).
+
+    - shingles: (_id, _sh array<string>) — the exact-verify side
+    - banded:   (_id, band int, bhash bigint) — the narrow LSH keys
+
+    Both are pure functions of the text, so production pipelines write
+    them to the lake ONCE and every later incremental run (daily crawl,
+    streaming micro-batch) checks its new documents against the stored
+    tables via `minhash_cross_duplicates_prebanded` — shingling cost is
+    paid per NEW document only, never re-paid for the corpus. See
+    streaming.incremental.minhash_stream_dedup for the foreachBatch
+    recipe. NOTE: unlike the in-session operators this does NOT persist()
+    to executor storage — the caller writes the frames out."""
+    sh, banded = _shingle_sig_bands(
+        _ensure_parallelism(df), id_col, text_col,
+        n_hashes, bands, shingle_words,
+    )
+    # the persist() in _shingle_sig_bands serves in-session reuse; a
+    # caller materializing to the lake should release it after writing
+    banded._owned_cache = [sh]
+    return sh, banded
+
+
+def minhash_cross_duplicates_prebanded(
+    new_sh: DataFrame,
+    new_banded: DataFrame,
+    corpus_sh: DataFrame,
+    corpus_banded: DataFrame,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs from ALREADY-BANDED sides (the
+    incremental path: corpus tables come from the lake via
+    `minhash_band_tables`, only the new batch was shingled this run).
+    Output: (new_id, corpus_id, jaccard >= threshold). Join cost is
+    bounded by the new batch's bucket occupancy — corpus buckets the
+    batch never touches are dropped at the join."""
+    cand = (
+        new_banded.alias("n")
+        .join(
+            corpus_banded.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bhash") == F.col("c.bhash")),
+        )
+        .select(
+            F.col("n._id").alias("new_id"), F.col("c._id").alias("corpus_id")
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    shl = new_sh.select(F.col("_id").alias("new_id"), F.col("_sh").alias("sh_n"))
+    shr = corpus_sh.select(
+        F.col("_id").alias("corpus_id"), F.col("_sh").alias("sh_c")
+    )
+    return (
+        cand.join(shl, "new_id")
+        .join(shr, "corpus_id")
+        .withColumn(
+            "jaccard",
+            (
+                F.size(F.array_intersect("sh_n", "sh_c"))
+                / F.size(F.array_union("sh_n", "sh_c"))
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def minhash_cross_duplicates(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -650,34 +725,8 @@ def minhash_cross_duplicates(
         _ensure_parallelism(corpus_df), id_col, text_col,
         n_hashes, bands, shingle_words,
     )
-    cand = (
-        band_new.alias("n")
-        .join(
-            band_cor.alias("c"),
-            (F.col("n.band") == F.col("c.band"))
-            & (F.col("n.bhash") == F.col("c.bhash")),
-        )
-        .select(
-            F.col("n._id").alias("new_id"), F.col("c._id").alias("corpus_id")
-        )
-        .dropDuplicates(["new_id", "corpus_id"])
-    )
-    shl = sh_new.select(F.col("_id").alias("new_id"), F.col("_sh").alias("sh_n"))
-    shr = sh_cor.select(
-        F.col("_id").alias("corpus_id"), F.col("_sh").alias("sh_c")
-    )
-    out = (
-        cand.join(shl, "new_id")
-        .join(shr, "corpus_id")
-        .withColumn(
-            "jaccard",
-            (
-                F.size(F.array_intersect("sh_n", "sh_c"))
-                / F.size(F.array_union("sh_n", "sh_c"))
-            ).cast("double"),
-        )
-        .where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
-        .select("new_id", "corpus_id", "jaccard")
+    out = minhash_cross_duplicates_prebanded(
+        sh_new, band_new, sh_cor, band_cor, jaccard_threshold
     )
     out._owned_cache = [sh_new, sh_cor]  # release_cache(out) after use
     return out
