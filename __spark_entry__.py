@@ -617,6 +617,13 @@ def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tod = F.floor(F.col("value") * 80).cast("long")
     tod_str = iso_time_from_seconds(tod)
     parsed_dur = iso_duration_seconds(dur_str)
+    # NOTE: parsed_dur is referenced twice (value + parse_ok) but this
+    # does NOT double the regex work — codegen'd subexpression
+    # elimination shares common subtrees WITHIN one projection. An
+    # explode-barrier rewrite (the net.py trick, which pays off when
+    # extraction happens in a *separate* operator) was A/B-measured 2x
+    # SLOWER here (interleaved warm min-of-3: 2.55s vs 4.8s at sf0.1) —
+    # the Generate breaks whole-stage codegen for no sharing gain.
     return ev.select(
         "event_id",
         parsed_dur.alias("dur_secs"),
