@@ -241,3 +241,17 @@ def test_interval_join_is_hash_join_not_nlj(spark):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert ("HashJoin" in p) or ("SortMergeJoin" in p)
     assert out.count() > 0
+
+
+def test_span_dedup_single_corpus_pass(spark):
+    """span_duplicates feeds two branches (distinct-count + join-back)
+    from the PERSISTED narrow span table: both must read the cache, so
+    the corpus is normalized/windowed/hashed once, not per branch."""
+    from typical_spark.operators.dedup import release_cache
+    from typical_spark.operators.spans import span_duplicates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = span_duplicates(docs, "doc_id", "text")
+    p = _plan_str(out)
+    assert p.count("InMemoryTableScan") >= 2
+    release_cache(out)

@@ -112,18 +112,25 @@ def span_duplicates(
     any duplication rate: a span repeated k times contributes k rows,
     never k^2."""
     spans = _span_rows(df, id_col, text_col, span_tokens)
+    # the span table feeds BOTH the distinct-count and the join-back —
+    # persist the NARROW keyed form (no span text, 32-byte hash) so the
+    # corpus is scanned/normalized/hashed once, not once per branch
+    # (same write-the-table-first discipline as dedup._shingle_sig_bands;
+    # callers release via dedup.release_cache)
     keyed = spans.select(
         "doc_id", "span_idx", "start_token", "end_token",
         F.md5(F.col("_span")).alias("_h"),
-    )
+    ).persist()
     groups = (
         keyed.groupBy("_h")
         .agg(F.countDistinct("doc_id").alias("n_docs_sharing"))
         .where(F.col("n_docs_sharing") >= int(min_docs))
     )
-    return keyed.join(groups, "_h").select(
+    out = keyed.join(groups, "_h").select(
         "doc_id", "span_idx", "start_token", "end_token", "n_docs_sharing"
     )
+    out._owned_cache = [keyed]
+    return out
 
 
 def strip_duplicate_spans(
@@ -149,7 +156,10 @@ def strip_duplicate_spans(
     sort, no quadratic membership; the only wide shuffle is the final
     per-document regroup carrying each kept window's text once."""
     spans = _span_rows(df, id_col, text_col, span_tokens)
-    keyed = spans.withColumn("_h", F.md5(F.col("_span")))
+    # persisted for the same two-branch reason as span_duplicates; this
+    # variant must carry the span TEXT (reconstruction needs it), so the
+    # cache is ~the normalized corpus — the price of a rewrite operator
+    keyed = spans.withColumn("_h", F.md5(F.col("_span"))).persist()
     keepers = keyed.groupBy("_h").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("_keep")
     )
@@ -158,7 +168,7 @@ def strip_duplicate_spans(
         (F.col("doc_id") == F.col("_keep.doc_id"))
         & (F.col("span_idx") == F.col("_keep.span_idx")),
     )
-    return (
+    out = (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -180,3 +190,5 @@ def strip_duplicate_spans(
         )
         .select("doc_id", "n_spans", "n_dropped", "clean_text")
     )
+    out._owned_cache = [keyed]
+    return out
