@@ -109,7 +109,16 @@ def main(argv=None) -> int:
     ck = None
     if args.checkpoint_dir:
         from typical_spark.checkpoint import StageCheckpoint
-        ck = StageCheckpoint(spark, args.checkpoint_dir)
+
+        # every argument a staged output depends on: resuming with a
+        # changed value must fail loudly, not reload stale stage data
+        ck = StageCheckpoint(spark, args.checkpoint_dir, fingerprint={
+            "input": args.input, "id_col": args.id_col,
+            "text_col": args.text_col, "lang_col": args.lang_col,
+            "jaccard": args.jaccard, "min_logprob": args.min_logprob,
+            "strata": args.strata,
+            "default_fraction": args.default_fraction,
+        })
 
     def run_stage(name, thunk, bound=False):
         """Materialize one pipeline stage. With --checkpoint-dir the

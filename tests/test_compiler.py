@@ -168,3 +168,29 @@ def test_split_and_valid_predicate(spark, transcripts_df):
     assert n_valid + n_invalid == transcripts_df.count()
     # valid_predicate agrees with split
     assert transcripts_df.where(plan.valid_predicate()).count() == n_valid
+
+
+def test_strict_mode_raw_string_carrier_no_ansi_crash(spark):
+    """Strict mode runs checks on the RAW column, which may be a string
+    regardless of the declared dtype. The declared-type exactness path
+    must try_cast (NULL on junk), never compare the bare column — a
+    bare compare would ANSI-cast 'abc' and kill the job."""
+    from typical_spark.specs import TableSpec, UnionCheck
+
+    spec = TableSpec(
+        name="t", key_columns=("row_id",),
+        fields=(FieldSpec(
+            "v", "bigint",
+            checks=(UnionCheck(members=(NumberCheck(ge=0),)),),
+        ),),
+    )
+    plan = compile_table_spec(spec, mode="strict")
+    df = spark.createDataFrame(
+        [(0, "5"), (1, "abc"), (2, "-3")], "row_id int, v string"
+    )
+    got = {(r["row_id"], r["check_id"])
+           for r in plan.violations(df, with_message=False).collect()}
+    # junk and out-of-range flag the union check; '5' passes it (the
+    # strict_type mismatch is a separate check class)
+    assert {(1, "union"), (2, "union")} <= got
+    assert not any(rid == 0 and cid == "union" for rid, cid in got)

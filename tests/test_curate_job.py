@@ -138,3 +138,25 @@ def test_curate_job_kill_and_resume(spark, tmp_path, capsys, monkeypatch):
     b = sorted(r["doc_id"] for r in
                spark.read.parquet(str(out_ref / "survivors")).collect())
     assert a == b and len(a) > 0
+
+
+def test_checkpoint_fingerprint_mismatch_raises(spark, tmp_path):
+    """Resuming a checkpoint dir with changed parameters must fail
+    loudly — silently reloading survivors deduped at a different
+    threshold would mislabel the whole run."""
+    import pytest as _pytest
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_documents
+
+    ckdir = tmp_path / "ck"
+    argv = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "out"),
+        "--checkpoint-dir", str(ckdir),
+    ]
+    assert curate_documents.main(argv + ["--jaccard", "0.8"]) == 0
+    with _pytest.raises(ValueError, match="different parameters"):
+        curate_documents.main(argv + ["--jaccard", "0.95"])
+    # unchanged parameters resume fine
+    assert curate_documents.main(argv + ["--jaccard", "0.8"]) == 0

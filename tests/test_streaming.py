@@ -247,3 +247,44 @@ def test_incremental_minhash_stream_dedup(spark, tmp_path):
         .select("_id").collect()
     }
     assert idx_ids == {1, 2, 11, 12}
+
+
+def test_incremental_minhash_redelivery_no_self_match(spark, tmp_path):
+    """At-least-once redelivery: a batch whose index appends landed but
+    whose checkpoint didn't commit is re-processed with its own rows
+    already in the index — the anti-join guard must keep it from
+    "detecting" itself ((id,id) and spurious within-batch pairs)."""
+    from typical_spark.streaming.incremental import minhash_stream_dedup
+
+    base = ("spark is a distributed engine for large scale data processing "
+            "with a declarative dataframe api and an optimizing planner")
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("large scale", "big") + " tail")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run(ck_name):
+        q = minhash_stream_dedup(
+            spark.readStream.schema(schema).parquet(str(src)),
+            index_dir=str(tmp_path / "index"),
+            pairs_dir=str(tmp_path / "pairs"),
+            checkpoint_dir=str(tmp_path / ck_name),
+            jaccard_threshold=0.5,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    # simulate redelivery: fresh checkpoint, same source, index already
+    # holds the batch's own rows
+    run("ck2")
+    import os as _os
+
+    if _os.path.exists(str(tmp_path / "pairs")):
+        pairs = spark.read.parquet(str(tmp_path / "pairs")).collect()
+        assert all(r["new_id"] != r["corpus_id"] for r in pairs)
+        # 1 and 2 are near-dups WITHIN one batch: never self-detected,
+        # not even on redelivery
+        assert not pairs

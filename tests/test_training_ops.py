@@ -677,3 +677,36 @@ def test_span_strip_within_doc_and_tail(spark):
     r = strip_duplicate_spans(df, "doc_id", "text", 2).collect()[0]
     assert r["n_spans"] == 3 and r["n_dropped"] == 1
     assert r["clean_text"] == "alpha beta gamma"  # tail window kept
+
+
+def test_span_strip_null_doc_id_excluded(spark):
+    """A NULL doc_id has no keep-first identity; such rows are excluded
+    (hash_split's NULL policy) instead of poisoning their span group's
+    keeper comparison — doc 7 must KEEP its text."""
+    from typical_spark.operators.spans import (
+        span_duplicates,
+        strip_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "alpha beta"), (7, "alpha beta")], "doc_id long, text string"
+    )
+    assert span_duplicates(df, "doc_id", "text", 2).count() == 0
+    clean = strip_duplicate_spans(df, "doc_id", "text", 2).collect()
+    assert len(clean) == 1
+    assert clean[0]["doc_id"] == 7
+    assert clean[0]["clean_text"] == "alpha beta"
+    assert clean[0]["n_dropped"] == 0
+
+
+def test_ivf_build_tolerates_null_ids(spark):
+    """NULL ids hash to NULL; they must not monopolize (or crash) the
+    uniform centroid-fit sample."""
+    rng = np.random.default_rng(5)
+    rows = [(None, rng.standard_normal(8).tolist()) for _ in range(50)]
+    rows += [(i, rng.standard_normal(8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFIndex.build(df, n_cells=4, sample_size=100)
+    assert np.isfinite(idx.centroids).all()
+    got = idx.query(rows[60][1], k=5, nprobe=4).collect()
+    assert len(got) == 5

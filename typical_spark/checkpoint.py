@@ -141,9 +141,20 @@ class StageCheckpoint:
     DAG (the same reason production pipelines write each stage to the
     lake; on Iceberg the stage table's snapshot is the marker)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fingerprint: dict | None = None,
+    ):
+        """fingerprint: the parameters the staged outputs depend on
+        (thresholds, input path, ...). Stored in each stage marker and
+        VALIDATED on resume — without it, re-running with changed
+        arguments would silently load stale stage output computed under
+        the old ones (e.g. survivors deduped at a different jaccard)."""
         self.spark = spark
         self.root = root
+        self.fingerprint = fingerprint
         os.makedirs(root, exist_ok=True)
 
     def _data_path(self, name: str) -> str:
@@ -171,6 +182,18 @@ class StageCheckpoint:
         import json
 
         if self.done(name):
+            with open(self._marker_path(name)) as fh:
+                marker = json.load(fh)
+            if self.fingerprint is not None and marker.get(
+                "fingerprint"
+            ) != self.fingerprint:
+                raise ValueError(
+                    f"stage {name!r} in {self.root} was built with "
+                    f"different parameters: {marker.get('fingerprint')!r}"
+                    f" vs current {self.fingerprint!r}; use a fresh "
+                    "checkpoint dir (or delete the stale stage) instead "
+                    "of silently mixing runs"
+                )
             return self.spark.read.parquet(self._data_path(name)), True
         t0 = time.time()
         df = thunk()
@@ -183,6 +206,7 @@ class StageCheckpoint:
             "n_rows": out.count(),
             "wall_s": time.time() - t0,
             "finished_at": time.time(),
+            "fingerprint": self.fingerprint,
         }
         tmp = self._marker_path(name) + ".tmp"
         with open(tmp, "w") as fh:

@@ -93,9 +93,16 @@ def scalar_violation_pred(
         # bare `col >= lit(0)` would ANSI-cast the string and crash the
         # job on 'abc' — the same hazard compile_check's try_cast handles
         # for named columns. Unparseable -> the member is violated, never
-        # a crash. Values already numeric by declared type skip the cast
-        # and compare exactly (no double rounding).
-        num = col if _is_numeric_ddl(value_ddl) else col.try_cast("double")
+        # a crash. Values with a DECLARED numeric type try_cast to that
+        # type instead of double: identity-folded when the carrier is
+        # already typed (exact comparison, no 2^53 rounding), still NULL
+        # on junk when the carrier is raw (strict mode runs checks on
+        # the RAW column, which may be a string regardless of dtype —
+        # a bare `col` here would reintroduce the ANSI crash).
+        num = (
+            col.try_cast(value_ddl) if _is_numeric_ddl(value_ddl)
+            else col.try_cast("double")
+        )
         ok = F.lit(True)
         if chk.gt is not None:
             ok = ok & (num > F.lit(chk.gt))
@@ -133,11 +140,13 @@ def scalar_violation_pred(
             viol = viol & scalar_violation_pred(m, col, value_ddl)
         return nn & viol
     if isinstance(chk, TimestampRangeCheck):
-        # same ANSI hazard as NumberCheck: try_cast, unparseable = violated
+        # same ANSI hazard as NumberCheck: try_cast (to the declared
+        # temporal type when known — identity-folded on typed carriers,
+        # NULL on raw junk), unparseable = violated
         known_ts = value_ddl is not None and value_ddl.strip().lower() in (
             "timestamp", "timestamp_ntz", "timestamp_ltz", "date"
         )
-        ts = col if known_ts else col.try_cast("timestamp")
+        ts = col.try_cast(value_ddl) if known_ts else col.try_cast("timestamp")
         ok = F.lit(True)
         if chk.min_ts is not None:
             ok = ok & (ts >= F.lit(chk.min_ts))

@@ -631,14 +631,14 @@ def minhash_band_tables(
     tables via `minhash_cross_duplicates_prebanded` — shingling cost is
     paid per NEW document only, never re-paid for the corpus. See
     streaming.incremental.minhash_stream_dedup for the foreachBatch
-    recipe. NOTE: unlike the in-session operators this does NOT persist()
-    to executor storage — the caller writes the frames out."""
+    recipe. LIFECYCLE: the shingle table IS persist()ed to executor
+    storage (the shared _shingle_sig_bands pipeline reuses it across the
+    signature and verify branches); call release_cache(banded) after
+    writing both frames out, or each invocation leaks one cached table."""
     sh, banded = _shingle_sig_bands(
         _ensure_parallelism(df), id_col, text_col,
         n_hashes, bands, shingle_words,
     )
-    # the persist() in _shingle_sig_bands serves in-session reuse; a
-    # caller materializing to the lake should release it after writing
     banded._owned_cache = [sh]
     return sh, banded
 

@@ -135,7 +135,10 @@ class IVFIndex:
             [
                 r[0]
                 for r in df.select(F.col(vec_col), h.alias("_h"))
-                .where(F.col(vec_col).isNotNull())
+                # NULL ids hash to NULL, which sorts FIRST ascending —
+                # a shard with lost ids would monopolize the "uniform"
+                # sample, recreating the bias this fit avoids
+                .where(F.col(vec_col).isNotNull() & F.col("_h").isNotNull())
                 .orderBy(F.col("_h").asc())
                 .limit(sample_size)
                 .collect()

@@ -81,7 +81,12 @@ def _span_rows(
             ),
         )
 
-    base = _ensure_parallelism(df).select(
+    # NULL-id documents are EXCLUDED (hash_split's NULL-id policy): the
+    # keep-first rule orders groups by (doc_id, span_idx), and a NULL id
+    # in a group makes the keeper comparison NULL — every member would
+    # silently drop the span (kept nowhere). No identity, no membership;
+    # enforce non-null ids upstream if such rows must be violations.
+    base = _ensure_parallelism(df.where(F.col(id_col).isNotNull())).select(
         F.col(id_col).alias("doc_id"),
         _bind(split_normalized(F.col(text_col)), windows).alias("_ww"),
     )

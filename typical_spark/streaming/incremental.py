@@ -20,12 +20,16 @@ within-batch self-dups are the batch-mode operators' job (run
 minhash_near_duplicates over the batch in the same handler if wanted).
 
 Delivery semantics: foreachBatch is at-least-once — a retried
-micro-batch re-appends its index rows and may re-emit pairs. Band joins
-are dropDuplicates'd per run, so duplicated INDEX rows only cost work,
-never wrong jaccard values; consumers of the pair sink should read
-DISTINCT (or key the sink). On a real lake both appends are Iceberg
-MERGE INTO keyed by _id, which restores exactly-once; plain parquet
-appends are the sandbox stand-in.
+micro-batch re-appends its index rows and may re-emit pairs. The
+handler anti-joins the batch's own ids out of the corpus side before
+matching, so a redelivered batch whose rows already landed in the index
+can NOT match itself (no (id,id) or spurious within-batch pairs). Band
+joins are dropDuplicates'd per run, so duplicated INDEX rows only cost
+work, never wrong jaccard values; re-emitted (identical) pair rows are
+the remaining duplicate class — consumers read DISTINCT, or key the
+sink. On a real lake both appends are Iceberg MERGE INTO keyed by _id,
+which restores exactly-once; plain parquet appends are the sandbox
+stand-in.
 """
 
 from __future__ import annotations
@@ -74,8 +78,18 @@ def minhash_stream_dedup(
         # API or make the index an Iceberg table (read of a missing path
         # would throw, and "no index yet" is a normal first-batch state)
         if os.path.exists(sh_path):
-            corpus_sh = spark.read.parquet(sh_path)
-            corpus_band = spark.read.parquet(band_path)
+            # RETRY GUARD: a micro-batch that crashed after its index
+            # appends is redelivered with its own rows already in the
+            # index; without this anti-join it would "detect" itself
+            # ((id,id) pairs plus spurious within-batch pairs), which
+            # read-DISTINCT cannot cure. Batch ids broadcast: tiny side.
+            batch_ids = sh_new.select("_id")
+            corpus_sh = spark.read.parquet(sh_path).join(
+                batch_ids, "_id", "left_anti"
+            )
+            corpus_band = spark.read.parquet(band_path).join(
+                batch_ids, "_id", "left_anti"
+            )
             pairs = minhash_cross_duplicates_prebanded(
                 sh_new, band_new, corpus_sh, corpus_band, jaccard_threshold
             )
