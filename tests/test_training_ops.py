@@ -710,3 +710,29 @@ def test_ivf_build_tolerates_null_ids(spark):
     assert np.isfinite(idx.centroids).all()
     got = idx.query(rows[60][1], k=5, nprobe=4).collect()
     assert len(got) == 5
+
+
+def test_span_duplicates_multi_phase_catches_unaligned(spark):
+    """n_offsets>1 windows at shifted grid phases: boilerplate pasted
+    mid-document (off the default grid) is detected; the single-grid
+    default documents its miss."""
+    from typical_spark.operators.spans import span_duplicates
+
+    rows = [
+        (1, "x1 x2 alpha beta gamma delta"),   # boilerplate at tokens 2..5
+        (2, "alpha beta gamma delta"),          # same span at tokens 0..3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # single grid: doc1 windows [x1 x2 alpha beta][gamma delta] never
+    # align with doc2's [alpha beta gamma delta] -> only the 2-token
+    # tail [gamma delta] of doc1 phase-0 can match doc2's phase-2 tail,
+    # which a single grid doesn't emit either
+    assert span_duplicates(df, "doc_id", "text", span_tokens=4).count() == 0
+    got = span_duplicates(
+        df, "doc_id", "text", span_tokens=4, n_offsets=2
+    ).collect()
+    hits = {(r["doc_id"], r["start_token"], r["end_token"])
+            for r in got}
+    # doc1's phase-2 window == doc2's phase-0 window
+    assert (1, 2, 6) in hits and (2, 0, 4) in hits
+    assert all(r["n_docs_sharing"] == 2 for r in got)

@@ -44,9 +44,14 @@ from typical_spark.operators.dedup import _ensure_parallelism
 
 
 def _span_rows(
-    df: DataFrame, id_col: str, text_col: str, span_tokens: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int,
+    offset: int = 0,
 ) -> DataFrame:
-    """(doc_id, span_idx, start_token, end_token, _span) token windows.
+    """(doc_id, span_idx, start_token, end_token, _span) token windows
+    starting at `offset` (grid phase) and advancing by span_tokens.
 
     The token split is let-bound (`_bind`) so the 3-regex normalization
     runs ONCE per document, not once per window (higher-order-function
@@ -57,11 +62,16 @@ def _span_rows(
     bigint so the oracle's DuckDB types line up."""
     if span_tokens <= 0:
         raise ValueError(f"span_tokens must be positive, got {span_tokens}")
+    if not 0 <= offset < span_tokens:
+        raise ValueError(
+            f"offset must be in [0, span_tokens), got {offset}"
+        )
     w = F.lit(int(span_tokens))
+    off = F.lit(int(offset))
 
     def windows(words: Column) -> Column:
         n = F.size(words)
-        n_spans = F.ceil(n / w.cast("double")).cast("bigint")
+        n_spans = F.ceil((n - off) / w.cast("double")).cast("bigint")
         # guard BEFORE building the range: sequence(0, -1) counts DOWN
         # (a NULL/empty split must yield no windows, not window -1), and
         # split('') == [''] must not produce an empty pseudo-span that
@@ -72,10 +82,12 @@ def _span_rows(
                 F.sequence(F.lit(0).cast("bigint"), n_spans - 1),
                 lambda i: F.struct(
                     i.alias("span_idx"),
-                    (i * w).alias("start_token"),
-                    F.least((i + 1) * w, n.cast("bigint")).alias("end_token"),
+                    (off + i * w).cast("bigint").alias("start_token"),
+                    F.least(off + (i + 1) * w, n.cast("bigint"))
+                    .cast("bigint").alias("end_token"),
                     F.concat_ws(
-                        " ", F.slice(words, (i * w + 1).cast("int"), span_tokens)
+                        " ",
+                        F.slice(words, (off + i * w + 1).cast("int"), span_tokens),
                     ).alias("_span"),
                 ),
             ),
@@ -101,6 +113,7 @@ def span_duplicates(
     text_col: str,
     span_tokens: int = 10,
     min_docs: int = 2,
+    n_offsets: int = 1,
 ) -> DataFrame:
     """Every window of every document whose text is shared by >= min_docs
     DISTINCT documents (the detector; feed its output to curation policy
@@ -108,7 +121,22 @@ def span_duplicates(
 
     Output: (doc_id, span_idx, start_token, end_token, n_docs_sharing).
     Token positions index the NORMALIZED token stream (the dedup space),
-    not raw character offsets.
+    not raw character offsets; span_idx is the window's index within its
+    grid phase (rows are unique by (doc_id, start_token)).
+
+    n_offsets: number of grid PHASES to window at (starts shifted by
+    span_tokens/n_offsets each). The single-grid default only detects
+    spans that two documents carry at the same alignment modulo
+    span_tokens; boilerplate pasted mid-document misses the grid. Each
+    extra phase costs one more full windowing pass (cost scales
+    linearly, still no pair explosion — phases all land in the one
+    hash-grouped table) and shrinks the maximum undetected shared run
+    from 2*span_tokens-2 tokens toward span_tokens-1; suffix-array
+    completeness is the n_offsets=span_tokens limit, which is exactly
+    why suffix arrays don't distribute. The contract query pins the
+    n_offsets=1 grid; the rewrite (`strip_duplicate_spans`) is
+    single-grid by construction (overlapping phases cannot be
+    re-concatenated).
 
     Plan: one narrow shuffle of (hash, doc_id) for the distinct-count
     (partial aggregation map-side), one equi-join of the narrow span
@@ -116,7 +144,16 @@ def span_duplicates(
     is rare, AQE-handled when it is not. No candidate-pair explosion at
     any duplication rate: a span repeated k times contributes k rows,
     never k^2."""
-    spans = _span_rows(df, id_col, text_col, span_tokens)
+    if not 1 <= n_offsets <= span_tokens:
+        raise ValueError(
+            f"n_offsets must be in [1, span_tokens], got {n_offsets}"
+        )
+    phases = sorted({p * span_tokens // n_offsets for p in range(n_offsets)})
+    spans = _span_rows(df, id_col, text_col, span_tokens, offset=phases[0])
+    for off in phases[1:]:
+        spans = spans.unionByName(
+            _span_rows(df, id_col, text_col, span_tokens, offset=off)
+        )
     # the span table feeds BOTH the distinct-count and the join-back —
     # persist the NARROW keyed form (no span text, 32-byte hash) so the
     # corpus is scanned/normalized/hashed once, not once per branch
