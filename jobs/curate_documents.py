@@ -72,10 +72,15 @@ def main(argv=None) -> int:
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--length-col", default="n_chars",
                     help="token/length column used for packing")
+    ap.add_argument("--strip-spans", type=int, default=None, metavar="W",
+                    help="remove duplicated W-token spans (keep-first) "
+                         "from survivor documents before the LM gate; "
+                         "omit to skip span-level dedup")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="stage-level resume directory: completed stages "
-                         "(dedup_survivors, lm_gated, rebalanced) reload "
-                         "from parquet instead of recomputing")
+                         "(dedup_survivors, span_stripped, lm_gated, "
+                         "rebalanced) reload from parquet instead of "
+                         "recomputing")
     ap.add_argument("--fail-after-stage", default=None,
                     help=argparse.SUPPRESS)  # kill-and-resume test hook
     args = ap.parse_args(argv)
@@ -118,6 +123,7 @@ def main(argv=None) -> int:
             "jaccard": args.jaccard, "min_logprob": args.min_logprob,
             "strata": args.strata,
             "default_fraction": args.default_fraction,
+            "strip_spans": args.strip_spans,
         })
 
     def run_stage(name, thunk, bound=False):
@@ -152,6 +158,47 @@ def main(argv=None) -> int:
 
     kept = run_stage("dedup_survivors", _dedup, bound=True)
     counts["after_dedup"] = kept.count()
+
+    if args.strip_spans is not None:
+        from typical_spark.operators.spans import strip_duplicate_spans
+
+        base_s = kept
+        w = args.strip_spans
+
+        def _strip():
+            # boilerplate spans removed keep-first BEFORE the LM gate
+            # (the gate should score what training will actually see);
+            # cleaned text is the kept windows of the NORMALIZED stream,
+            # so only documents that actually lost a span are rewritten
+            # — untouched documents keep their raw text and length
+            s = strip_duplicate_spans(
+                base_s, args.id_col, args.text_col, span_tokens=w
+            )
+            joined = base_s.join(
+                s.select(args.id_col, "clean_text", "n_dropped"),
+                args.id_col, "left",
+            )
+            stripped = F.col("n_dropped").isNotNull() & (F.col("n_dropped") > 0)
+            return (
+                joined
+                .withColumn(
+                    args.text_col,
+                    F.when(stripped, F.col("clean_text"))
+                    .otherwise(F.col(args.text_col)),
+                )
+                .withColumn(
+                    args.length_col,
+                    F.when(stripped, F.length(F.col(args.text_col)))
+                    .otherwise(F.col(args.length_col)),
+                )
+                .drop("clean_text")
+            )
+
+        kept = run_stage("span_stripped", _strip)
+        counts["span_stripped_docs"] = kept.where(
+            F.col("n_dropped").isNotNull() & (F.col("n_dropped") > 0)
+        ).count()
+        kept = kept.drop("n_dropped")
 
     if args.min_logprob is not None:
         base = kept

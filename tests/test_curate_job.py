@@ -160,3 +160,40 @@ def test_checkpoint_fingerprint_mismatch_raises(spark, tmp_path):
         curate_documents.main(argv + ["--jaccard", "0.95"])
     # unchanged parameters resume fine
     assert curate_documents.main(argv + ["--jaccard", "0.8"]) == 0
+
+
+def test_curate_job_span_strip_stage(spark, tmp_path, capsys):
+    """--strip-spans removes keep-first duplicated spans from survivor
+    text before the LM gate; untouched docs keep raw text/length."""
+    import json
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_documents
+
+    boiler = "terms of service apply to all content here"
+    rows = [
+        (1, boiler + " unique alpha words one two", None, 70),
+        (2, boiler + " other beta words three four", None, 71),
+        (3, "completely unrelated gardening text about roses", None, 47),
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.parquet(str(src))
+    out = tmp_path / "out"
+    rc = curate_documents.main([
+        "--input", str(src), "--out", str(out),
+        "--strip-spans", "4",
+    ])
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["span_stripped_docs"] >= 1
+    surv = {r["doc_id"]: r for r in
+            spark.read.parquet(str(out / "survivors")).collect()}
+    # doc 1 keeps the boilerplate (keep-first); doc 2 lost it
+    assert "terms of service" in surv[1]["text"]
+    assert "terms of service" not in surv[2]["text"]
+    assert "beta" in surv[2]["text"]  # its own content survives
+    assert surv[2]["n_chars"] == len(surv[2]["text"])
+    # untouched doc keeps raw text + original length
+    assert surv[3]["text"] == rows[2][1] and surv[3]["n_chars"] == 47
