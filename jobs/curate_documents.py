@@ -179,7 +179,7 @@ def main(argv=None) -> int:
                 args.id_col, "left",
             )
             stripped = F.col("n_dropped").isNotNull() & (F.col("n_dropped") > 0)
-            return (
+            result = (
                 joined
                 .withColumn(
                     args.text_col,
@@ -193,8 +193,15 @@ def main(argv=None) -> int:
                 )
                 .drop("clean_text")
             )
+            # hand strip_duplicate_spans' persisted keyed-window table to
+            # the materializer — the join result, not `s`, is what the
+            # stage materializes, so the cache handle must ride on it
+            result._owned_cache = list(getattr(s, "_owned_cache", []))
+            return result
 
-        kept = run_stage("span_stripped", _strip)
+        # bound: the stripped table feeds the span_stripped_docs count,
+        # the LM gate, and the final writes — materialize once
+        kept = run_stage("span_stripped", _strip, bound=True)
         counts["span_stripped_docs"] = kept.where(
             F.col("n_dropped").isNotNull() & (F.col("n_dropped") > 0)
         ).count()

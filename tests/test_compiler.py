@@ -194,3 +194,58 @@ def test_strict_mode_raw_string_carrier_no_ansi_crash(spark):
     # strict_type mismatch is a separate check class)
     assert {(1, "union"), (2, "union")} <= got
     assert not any(rid == 0 and cid == "union" for rid, cid in got)
+
+
+def test_decimal_declared_dtype_raw_carrier_no_scale_rounding(spark):
+    """A string->decimal cast ROUNDS to the target scale ('1.5' ->
+    decimal(10,0) = 2). Strict mode runs bound checks on the RAW
+    carrier, so a decimal-declared field with lt=2 must evaluate 1.5,
+    not the rounded 2 — the comparison cast widens the scale
+    (decimal(38,18)) instead of using the declared decimal."""
+    from typical_spark.specs import TableSpec, UnionCheck
+
+    spec = TableSpec(
+        name="t", key_columns=("row_id",),
+        fields=(FieldSpec(
+            "v", "decimal(10,0)",
+            checks=(NumberCheck(lt=2),),
+        ),),
+    )
+    plan = compile_table_spec(spec, mode="strict")
+    df = spark.createDataFrame(
+        [(0, "1.5"), (1, "2.4"), (2, "junk")], "row_id int, v string"
+    )
+    got = {(r["row_id"], r["check_id"])
+           for r in plan.violations(df, with_message=False).collect()}
+    # 1.5 < 2 passes (would flag if rounded to decimal(10,0)=2);
+    # 2.4 >= 2 flags; 'junk' is unparseable -> NULL under try_cast, so
+    # number_range stays silent on it (strict_type owns junk when the
+    # field declares a coercion source; this one doesn't)
+    assert not any(rid == 0 and cid == "number_range" for rid, cid in got)
+    assert (1, "number_range") in got
+    assert not any(rid == 2 and cid == "number_range" for rid, cid in got)
+
+    # same widening on the union/value_ddl path
+    spec_u = TableSpec(
+        name="t", key_columns=("row_id",),
+        fields=(FieldSpec(
+            "v", "decimal(10,0)",
+            checks=(UnionCheck(members=(NumberCheck(lt=2),)),),
+        ),),
+    )
+    plan_u = compile_table_spec(spec_u, mode="strict")
+    got_u = {(r["row_id"], r["check_id"])
+             for r in plan_u.violations(df, with_message=False).collect()}
+    assert not any(rid == 0 and cid == "union" for rid, cid in got_u)
+    assert (1, "union") in got_u
+
+    # typed decimal carriers still compare exactly (lossless widening)
+    tdf = spark.sql(
+        "SELECT * FROM VALUES (0, CAST(1 AS decimal(10,0))), "
+        "(1, CAST(3 AS decimal(10,0))) AS t(row_id, v)"
+    )
+    got_t = {(r["row_id"], r["check_id"])
+             for r in compile_table_spec(spec).violations(
+                 tdf, with_message=False).collect()}
+    assert not any(rid == 0 for rid, _ in got_t)
+    assert (1, "number_range") in got_t

@@ -61,6 +61,24 @@ def _is_numeric_ddl(ddl: str | None) -> bool:
     return d in _NUMERIC_DDLS or d.startswith("decimal")
 
 
+def _widened_decimal_ddl(ddl: str) -> str:
+    """Comparison cast for a decimal-declared dtype. String->decimal
+    casts ROUND to the target scale ('1.5' -> decimal(10,0) = 2), and
+    strict mode runs checks on the RAW carrier, which may be a string —
+    so bounds would be evaluated against the rounded value. Widen the
+    scale as far as the declared integer digits allow (cap 18): typed
+    decimal carriers cast losslessly (same integer digits, more scale),
+    raw string carriers compare without scale rounding."""
+    p, s = 10, 0
+    inner = ddl.strip().lower().removeprefix("decimal").strip()
+    if inner.startswith("(") and inner.endswith(")"):
+        parts = [x.strip() for x in inner[1:-1].split(",")]
+        p = int(parts[0])
+        s = int(parts[1]) if len(parts) > 1 else 0
+    scale = max(s, min(18, 38 - (p - s)))
+    return f"decimal(38,{scale})"
+
+
 def _array_elem_ddl(ddl: str | None) -> str | None:
     """'array<X>' -> 'X' (None when the ddl isn't a plain array)."""
     if ddl is None:
@@ -99,10 +117,14 @@ def scalar_violation_pred(
         # on junk when the carrier is raw (strict mode runs checks on
         # the RAW column, which may be a string regardless of dtype —
         # a bare `col` here would reintroduce the ANSI crash).
-        num = (
-            col.try_cast(value_ddl) if _is_numeric_ddl(value_ddl)
-            else col.try_cast("double")
-        )
+        if value_ddl is not None and value_ddl.strip().lower().startswith("decimal"):
+            # widened scale, NOT the declared decimal: see
+            # _widened_decimal_ddl (raw '1.5' vs decimal(10,0) rounds)
+            num = col.try_cast(_widened_decimal_ddl(value_ddl))
+        elif _is_numeric_ddl(value_ddl):
+            num = col.try_cast(value_ddl)
+        else:
+            num = col.try_cast("double")
         ok = F.lit(True)
         if chk.gt is not None:
             ok = ok & (num > F.lit(chk.gt))
@@ -220,7 +242,14 @@ def compile_check(fs: FieldSpec, chk: Check, value: Column) -> list[CompiledChec
         # under spark.sql.ansi.enabled=true (strict mode range-checks the
         # RAW column, which may be a string; 'zzz' must flag strict_type,
         # not crash the job).
-        num = col.try_cast(fs.dtype)
+        if fs.dtype.strip().lower().startswith("decimal"):
+            # widened scale for declared decimals: strict mode runs this
+            # on the RAW carrier, and a string->decimal cast rounds to
+            # the target scale ('1.5' -> decimal(10,0) = 2), so bounds
+            # would compare against the rounded value
+            num = col.try_cast(_widened_decimal_ddl(fs.dtype))
+        else:
+            num = col.try_cast(fs.dtype)
         preds = []
         if chk.gt is not None:
             preds.append(num > F.lit(chk.gt))
