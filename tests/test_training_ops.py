@@ -280,6 +280,67 @@ def test_ivf_recall(spark, emb_df):
     assert approx[0] == 42
 
 
+def test_ivf_query_batch_parity(spark, emb_df):
+    """query_batch must reproduce looped query() EXACTLY — same probe
+    cells (stable tie-break toward the lower cell index), same exact
+    cosine, same id tie-break — while running as ONE distributed job.
+    Parity is checked two ways: against literal looped query() calls on
+    a sample, and against a driver-side numpy replica of query()'s
+    cell-selection + scoring for ALL 1,200 queries (the replica is
+    exact, so this is full-batch parity, not recall)."""
+    df, base = emb_df
+    idx = IVFIndex.build(df, n_cells=8, sample_size=500)
+    k, nprobe = 5, 3
+    n_q = 1200
+    rng = np.random.default_rng(11)
+    qvecs = base[rng.integers(0, len(base), n_q)].astype(np.float64)
+    qvecs += rng.standard_normal(qvecs.shape) * 0.05
+    qdf = spark.createDataFrame(
+        pd.DataFrame({
+            "query_id": np.arange(n_q),
+            "query_vec": [v.tolist() for v in qvecs],
+        })
+    )
+    out = idx.query_batch(qdf, k=k, nprobe=nprobe)
+    assert out.columns == ["query_id", "vec_id", "cosine_sim"]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine_sim"])
+        )
+    assert set(got) == set(range(n_q))
+
+    # numpy replica of query(): argsort cells, probe, exact cosine topk
+    cent = idx.centroids
+    cells_of = np.array(
+        [r["cell_id"] for r in
+         idx.assigned.select("vec_id", "cell_id")
+         .orderBy("vec_id").collect()]
+    )
+    norms = np.linalg.norm(base.astype(np.float64), axis=1)
+    for qid in range(n_q):
+        q = qvecs[qid]
+        d = ((cent - q[None, :]) ** 2).sum(1)
+        probe = set(np.argsort(d, kind="stable")[:nprobe].tolist())
+        mask = np.isin(cells_of, list(probe))
+        ids = np.nonzero(mask)[0]
+        sims = base[ids].astype(np.float64) @ q / (
+            norms[ids] * np.linalg.norm(q)
+        )
+        order = sorted(zip(-sims, ids))[:k]
+        want = [(int(i), -s) for s, i in order]
+        have = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+        assert [w[0] for w in want] == [h[0] for h in have], f"qid {qid}"
+        assert np.allclose([w[1] for w in want], [h[1] for h in have])
+
+    # literal looped query() parity on a sample
+    for qid in [0, 17, 555]:
+        loop = [(r["vec_id"], r["cosine_sim"])
+                for r in idx.query(qvecs[qid], k=k, nprobe=nprobe).collect()]
+        have = sorted(got[qid], key=lambda t: (-t[1], t[0]))
+        assert [x[0] for x in loop] == [x[0] for x in have]
+
+
 def test_ivf_uniform_fit_on_sharded_corpus(spark, tmp_path):
     """Centroids must be fitted on a UNIFORM sample of the corpus, not
     the first partitions' rows (the old `limit(sample_size)` pull). On a
@@ -736,3 +797,73 @@ def test_span_duplicates_multi_phase_catches_unaligned(spark):
     # doc1's phase-2 window == doc2's phase-0 window
     assert (1, 2, 6) in hits and (2, 0, 4) in hits
     assert all(r["n_docs_sharing"] == 2 for r in got)
+
+
+def test_span_duplicates_anchored_golden(spark):
+    """Boundary-anchored span dedup (spans.py): boilerplate pasted
+    mid-document at an offset the fixed grid provably misses is caught
+    in ONE pass because each sentence/paragraph gets its own grid.
+    Positions are GLOBAL token offsets in the concatenated normalized
+    stream (prefix sums of paragraph token counts)."""
+    from typical_spark.operators.dedup import release_cache
+    from typical_spark.operators.spans import (
+        span_duplicates,
+        span_duplicates_anchored,
+    )
+
+    rows = [
+        (1, "intro text here. alpha beta gamma delta! closing words"),
+        (2, "a longer different opening sentence here. alpha beta gamma"
+            " delta. trailing stuff"),
+        (3, "nothing shared at all here"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the fixed grid misses the mid-document paste entirely
+    assert span_duplicates(df, "doc_id", "text", span_tokens=4).count() == 0
+    out = span_duplicates_anchored(df, "doc_id", "text", span_tokens=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    # doc1: para0 = 3 tokens -> shared span starts at global 3
+    assert (got[1]["para_idx"], got[1]["span_idx"]) == (1, 0)
+    assert (got[1]["start_token"], got[1]["end_token"]) == (3, 7)
+    # doc2: para0 = 6 tokens -> shared span starts at global 6
+    assert (got[2]["start_token"], got[2]["end_token"]) == (6, 10)
+    assert all(r["n_docs_sharing"] == 2 for r in got.values())
+    release_cache(out)
+
+
+def test_span_anchored_offsets_and_empty_segments(spark):
+    """Global offsets accumulate across paragraphs (second window of a
+    long paragraph, later paragraphs); empty/trailing segments from the
+    boundary split contribute 0 tokens and must not NULL-out the
+    flatten (the split('x.') -> ['x',''] trap)."""
+    from pyspark.sql import functions as F
+
+    from typical_spark.operators.spans import _anchored_span_rows
+
+    rows = [
+        (1, "a b c d e f. g h."),   # para0: 6 toks (2 windows), para1: 2
+        (2, "."),                    # only empty segments -> no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        _anchored_span_rows(df, "doc_id", "text", 4, r"[.!?\n]+")
+        .orderBy("doc_id", "start_token")
+        .collect()
+    )
+    assert [(r["doc_id"], r["para_idx"], r["span_idx"], r["start_token"],
+             r["end_token"], r["_span"]) for r in got] == [
+        (1, 0, 0, 0, 4, "a b c d"),
+        (1, 0, 1, 4, 6, "e f"),      # tail of para0 kept
+        (1, 1, 0, 6, 8, "g h"),      # para1 grid restarts, global base 6
+    ]
+    # NULL-id rows excluded, same policy as the fixed-grid detector
+    df2 = df.withColumn(
+        "doc_id", F.when(F.col("doc_id") == 2, None).otherwise(F.col("doc_id"))
+    )
+    assert (
+        _anchored_span_rows(df2, "doc_id", "text", 4, r"[.!?\n]+")
+        .where(F.col("doc_id").isNull()).count() == 0
+    )

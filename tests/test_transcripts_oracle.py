@@ -141,3 +141,52 @@ def test_ordering_violations_match_reference(spark, transcripts_pdf, transcripts
     g = {r.check_id: r.count for r in got.itertuples(index=False)}
     assert g == want.to_dict()
     assert set(g) >= {"order_duplicate", "order_gap"}
+
+
+def test_rotated_out_queries_still_green(spark):
+    """Automatic local gate for driver-board rotation (ADVICE r4): every
+    queries() entry PAST the driver's 50-entry grading window must still
+    pass the full oracle comparison (row count + schema + value
+    multiset) at sf0.001 on every pytest run — rotated-out coverage is
+    CI-gated, not ad-hoc. The membership of the past-cut set changes
+    per round; this test follows dict order automatically."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from typical_spark.sources.tables import TABLE_NAMES
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    past_cut = list(qs)[50:]
+    assert past_cut, "board has <=50 entries; drop this gate if permanent"
+
+    def norm_cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    def multiset(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            tuple(norm_cell(r[i]) for i in order) for r in rows
+        )
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = []
+    for name in past_cut:
+        sdf = qs[name](spark, sf_dir)
+        scols = [c.lower() for c in sdf.columns]
+        srows = sdf.collect()
+        assert name in oracles, f"past-cut {name} lost its oracle"
+        rel = con.sql(oracles[name])
+        ocols = [d[0].lower() for d in rel.description]
+        orows = rel.fetchall()
+        if sorted(scols) != sorted(ocols) or multiset(scols, srows) != multiset(ocols, orows):
+            bad.append(name)
+    assert not bad, f"rotated-out queries no longer match oracle: {bad}"

@@ -175,6 +175,156 @@ def span_duplicates(
     return out
 
 
+def _anchored_span_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int,
+    boundary: str,
+) -> DataFrame:
+    """(doc_id, para_idx, span_idx, start_token, end_token, _span) token
+    windows anchored at PARAGRAPH/SENTENCE boundaries: the raw text is
+    split on `boundary` (a regex, applied BEFORE normalization — the
+    normalizer strips the very punctuation that marks boundaries), each
+    segment is normalized independently, and every segment gets its own
+    fixed grid starting at its head. Boilerplate pasted mid-document at
+    an arbitrary global offset is detected as long as it starts at a
+    boundary — the dominant real-world case — with a SINGLE windowing
+    pass (the multi-phase n_offsets fallback costs one pass per phase
+    and still only shrinks, not closes, the alignment hole).
+
+    start/end_token are GLOBAL positions in the concatenated normalized
+    stream (per-paragraph offsets = exclusive prefix sums of paragraph
+    token counts, computed with an array aggregate — no shuffle, no
+    per-doc window function); span_idx is the window's index within its
+    paragraph, so rows are unique by (doc_id, start_token) and by
+    (doc_id, para_idx, span_idx).
+
+    All computed inside nested `_bind` scopes: the paragraph token
+    arrays and the offset array are each evaluated once per document
+    (higher-order lambdas re-evaluate captured expressions per element —
+    the measured ~100x trap, text_analysis.py:137-144)."""
+    if span_tokens <= 0:
+        raise ValueError(f"span_tokens must be positive, got {span_tokens}")
+    w = F.lit(int(span_tokens))
+
+    def para_windows(ws: Column, base: Column, p: Column) -> Column:
+        n = F.size(ws)
+        n_spans = F.ceil(n / w.cast("double")).cast("bigint")
+        return F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_spans - 1),
+            lambda i: F.struct(
+                p.cast("bigint").alias("para_idx"),
+                i.alias("span_idx"),
+                (base + i * w).cast("bigint").alias("start_token"),
+                (base + F.least((i + 1) * w, n.cast("bigint")))
+                .cast("bigint").alias("end_token"),
+                F.concat_ws(
+                    " ", F.slice(ws, (i * w + 1).cast("int"), span_tokens)
+                ).alias("_span"),
+            ),
+        )
+
+    def windows(ws_all: Column) -> Column:
+        # paragraph token counts (0 for empty segments: split('') == [''])
+        counts = F.transform(
+            ws_all,
+            lambda ws: F.when(
+                (F.size(ws) >= 1) & (F.element_at(ws, 1) != ""), F.size(ws)
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+        # exclusive prefix sums -> each paragraph's global start offset
+        offsets = F.aggregate(
+            counts,
+            F.struct(
+                F.lit(0).cast("bigint").alias("acc"),
+                F.array().cast("array<bigint>").alias("out"),
+            ),
+            lambda a, c: F.struct(
+                (a["acc"] + c).alias("acc"),
+                F.concat(a["out"], F.array(a["acc"])).alias("out"),
+            ),
+            lambda a: a["out"],
+        )
+        # filter FIRST, then flatten: flatten() of an array containing a
+        # NULL element is NULL, which would silently drop every window
+        # of a document with one empty trailing segment
+        def build(offs: Column) -> Column:
+            valid = F.filter(
+                F.sequence(F.lit(0), F.size(ws_all) - 1),
+                lambda p: F.element_at(counts, (p + 1).cast("int")) > 0,
+            )
+            return F.flatten(
+                F.transform(
+                    valid,
+                    lambda p: para_windows(
+                        F.element_at(ws_all, (p + 1).cast("int")),
+                        F.element_at(offsets, (p + 1).cast("int")),
+                        p,
+                    ),
+                )
+            )
+
+        return _bind(offsets, build)
+
+    base = _ensure_parallelism(df.where(F.col(id_col).isNotNull())).select(
+        F.col(id_col).alias("doc_id"),
+        _bind(
+            F.transform(
+                F.split(F.col(text_col), boundary),
+                lambda seg: split_normalized(seg),
+            ),
+            windows,
+        ).alias("_ww"),
+    )
+    return base.select("doc_id", F.explode("_ww").alias("s")).select(
+        "doc_id", "s.para_idx", "s.span_idx", "s.start_token",
+        "s.end_token", "s._span",
+    )
+
+
+def span_duplicates_anchored(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    min_docs: int = 2,
+    boundary: str = r"[.!?\n]+",
+) -> DataFrame:
+    """Paragraph-anchored span-dedup detector: every boundary-anchored
+    window shared by >= min_docs distinct documents. Same keep-first
+    family contract as `span_duplicates` (reference
+    typic/constraints/array.py:30-87 at corpus granularity), but windows
+    align to natural text boundaries instead of a document-global grid,
+    so boilerplate pasted mid-document at unaligned offsets is caught in
+    one pass (the fixed grid misses it unless the paste lands on the
+    grid; see the golden test in tests/test_spans.py).
+
+    Output: (doc_id, para_idx, span_idx, start_token, end_token,
+    n_docs_sharing); positions index the concatenated normalized token
+    stream. Plan shape identical to span_duplicates: persist the narrow
+    keyed table once, one (hash, doc_id) shuffle with map-side partial
+    distinct-count, one equi-join back — no pair explosion at any
+    duplication rate (k rows for a k-way-shared span, never k^2).
+    Callers release the keyed cache via dedup.release_cache."""
+    spans = _anchored_span_rows(df, id_col, text_col, span_tokens, boundary)
+    keyed = spans.select(
+        "doc_id", "para_idx", "span_idx", "start_token", "end_token",
+        F.md5(F.col("_span")).alias("_h"),
+    ).persist()
+    groups = (
+        keyed.groupBy("_h")
+        .agg(F.countDistinct("doc_id").alias("n_docs_sharing"))
+        .where(F.col("n_docs_sharing") >= int(min_docs))
+    )
+    out = keyed.join(groups, "_h").select(
+        "doc_id", "para_idx", "span_idx", "start_token", "end_token",
+        "n_docs_sharing",
+    )
+    out._owned_cache = [keyed]
+    return out
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     id_col: str,
