@@ -255,3 +255,29 @@ def test_span_dedup_single_corpus_pass(spark):
     p = _plan_str(out)
     assert p.count("InMemoryTableScan") >= 2
     release_cache(out)
+
+
+def test_ivf_query_batch_is_equi_join(spark):
+    """query_batch's probe must join assignments on cell_id as an EQUI
+    join (hash/SMJ) — never CartesianProduct/BroadcastNestedLoopJoin,
+    which is what an all-pairs rerank would cost at millions of
+    queries."""
+    import numpy as np
+    import pandas as pd
+
+    from typical_spark.operators.similarity import IVFIndex
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((400, 8))
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(400), "embedding": [v.tolist() for v in base],
+    }))
+    idx = IVFIndex.build(df, n_cells=4, sample_size=200)
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(50),
+        "query_vec": [v.tolist() for v in base[:50]],
+    }))
+    out = idx.query_batch(qdf, k=3, nprobe=2)
+    p = _plan_str(out)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert ("HashJoin" in p) or ("SortMergeJoin" in p)

@@ -569,3 +569,100 @@ def test_nfc_normalize_pandas_udf(spark):
            df.select("i", nfc_normalize(F.col("t")).alias("n")).collect()}
     assert got[1] == got[2] == "café"   # decomposed composes
     assert got[3] is None and got[4] == "plain"
+
+
+# ---------------------------------------------------------------------------
+# tokenizer seam (functions/tokenize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_seam_packing_budgets(spark):
+    """The token-length seam (round-4 verdict ask): whitespace default
+    is byte-identical to counting via token_count_ws (what the green
+    packing oracle pins), while an Arrow-batched stub-BPE tokenizer
+    produces DIFFERENT, independently verified budgets — proving
+    pack_sequences budgets follow the plugged tokenizer, not a fixed
+    word count."""
+    import math
+    import re
+
+    from typical_spark.functions.tokenize import (
+        stub_bpe_token_count,
+        token_count_column,
+    )
+    from typical_spark.operators.packing import pack_sequences
+
+    rows = [
+        (1, "short words only here"),
+        (2, "hyphenated-words, punctuation... and 12345 numbers!"),
+        (3, "a considerably longerwordthanfourchars sequence of text"),
+        (4, ""),
+        (5, None),
+    ] + [(10 + i, f"doc {i} body tok{i} alpha beta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # whitespace path == today's numeric-column path, byte-identical
+    ws_counts = df.select(
+        "doc_id", token_count_column(F.col("text")).alias("tok")
+    )
+    via_text = pack_sequences(
+        df, "doc_id", "text", budget=16, n_shards=2, tokenizer="whitespace"
+    )
+    via_counts = pack_sequences(
+        ws_counts, "doc_id", "tok", budget=16, n_shards=2
+    )
+    assert sorted(map(tuple, via_text.collect())) == sorted(
+        map(tuple, via_counts.collect())
+    )
+
+    # stub-BPE path: verified against a pure-python recount, and it
+    # must actually CHANGE token budgets vs whitespace
+    bpe = pack_sequences(
+        df, "doc_id", "text", budget=16, n_shards=2,
+        tokenizer=stub_bpe_token_count,
+    )
+    got = {r["doc_id"]: r["tokens"] for r in bpe.collect()}
+    pre = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+    want = {}
+    for doc_id, text in rows:
+        if text:
+            want[doc_id] = sum(
+                max(1, math.ceil(len(p.strip()) / 4))
+                for p in pre.findall(text) if p.strip()
+            )
+    assert got == want
+    ws = {r["doc_id"]: r["tokens"] for r in via_text.collect()}
+    assert got[2] > ws[2] and got[3] > ws[3]  # punctuation/long words cost more
+    assert got != ws
+
+
+def test_tokenizer_seam_chunking_and_plan(spark):
+    """chunk_spans through the seam: chunk counts follow the tokenizer;
+    the Arrow tokenizer is evaluated ONCE per row (a single
+    ArrowEvalPython node), never per reference."""
+    from typical_spark.functions.tokenize import stub_bpe_token_count
+    from typical_spark.operators.packing import chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["word"] * 30)), (2, "tiny"), (3, None)],
+        "doc_id long, text string",
+    )
+    ws = chunk_spans(df, "doc_id", "text", chunk_size=8, overlap=2,
+                     tokenizer="whitespace")
+    got_ws = sorted((r["doc_id"], r["chunk_idx"], r["start"], r["end"])
+                    for r in ws.collect())
+    # 30 tokens, stride 6 -> ceil(28/6)=5 chunks for doc1; 1 for doc2
+    assert [g for g in got_ws if g[0] == 1][-1] == (1, 4, 24, 30)
+    assert len([g for g in got_ws if g[0] == 1]) == 5
+    assert [g for g in got_ws if g[0] == 2] == [(2, 0, 0, 1)]
+
+    bpe = chunk_spans(df, "doc_id", "text", chunk_size=8, overlap=2,
+                      tokenizer=stub_bpe_token_count)
+    plan = bpe._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    got_bpe = {r["doc_id"]: r for r in bpe.where(F.col("doc_id") == 2).collect()}
+    # "tiny" = 1 whitespace token but ceil(4/4)=1 stub-BPE token too;
+    # doc1: 30 words x 1 token == whitespace here, so counts agree —
+    # the seam difference is covered by the packing test; this test
+    # pins plan shape + parity of the shared arithmetic
+    assert got_bpe[2]["end"] == 1

@@ -36,6 +36,21 @@ from pyspark.sql import functions as F
 from typical_spark.operators.sampling import hash_bucket
 
 
+def _length_expr(tokens_col, tokenizer):
+    """Resolve the token-length seam: `tokens_col` is either a numeric
+    count column (tokenizer must be None — counts are already fixed) or
+    a TEXT column counted through functions/tokenize.token_count_column
+    (whitespace Catalyst expression by default; an Arrow-batched
+    tokenizer callable — e.g. a real BPE encoder — when supplied).
+    Budgets follow whatever tokenizer the training run actually uses."""
+    if tokenizer is None:
+        return F.col(tokens_col).cast("bigint")
+    from typical_spark.functions.tokenize import token_count_column
+
+    fn = None if tokenizer == "whitespace" else tokenizer
+    return token_count_column(F.col(tokens_col), tokenizer=fn)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -43,9 +58,16 @@ def pack_sequences(
     budget: int = 4096,
     n_shards: int = 64,
     seed: int = 42,
+    tokenizer=None,
 ) -> DataFrame:
     """Assign each document its packed-sequence span under
     concat-and-split packing with `budget` tokens per sequence.
+
+    tokens_col: a numeric token-count column (default), or — when
+    `tokenizer` is given — a TEXT column whose counts are computed
+    through the tokenize.token_count_column seam ("whitespace" for the
+    engine-native expression, or an Arrow-batched callable for real
+    BPE lengths).
 
     Output: (id_col, tokens, shard, offset, first_seq, last_seq,
     n_seqs) where offset is the document's first-token position in its
@@ -55,14 +77,12 @@ def pack_sequences(
         raise ValueError(f"budget must be positive, got {budget}")
     shard = hash_bucket(F.col(id_col), seed=seed, n_buckets=n_shards)
     sort_h = hash_bucket(F.col(id_col), seed=seed + 1, n_buckets=1 << 32)
-    base = (
-        df.where(F.col(tokens_col).isNotNull() & (F.col(tokens_col) > 0))
-        .select(
-            F.col(id_col),
-            F.col(tokens_col).cast("bigint").alias("tokens"),
-            shard.cast("int").alias("shard"),
-            sort_h.alias("_sh"),
-        )
+    n_tok = _length_expr(tokens_col, tokenizer)
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("tokens"),
+        shard.cast("int").alias("shard"),
+        sort_h.alias("_sh"),
     )
     w = (
         Window.partitionBy("shard")
@@ -71,8 +91,14 @@ def pack_sequences(
     )
     cum = F.sum("tokens").over(w)
     b = F.lit(int(budget))
+    # zero/NULL-token docs are dropped AFTER the window (they add 0 /
+    # NULL-ignored to the cumsum, so every other row's offset is
+    # unchanged) — a pre-window filter on the computed count would be
+    # pushed through the projection and evaluate an Arrow tokenizer
+    # UDF twice per row
     return (
         base.withColumn("_cum", cum)
+        .where(F.col("tokens").isNotNull() & (F.col("tokens") > 0))
         .select(
             id_col,
             "tokens",
@@ -93,6 +119,7 @@ def chunk_spans(
     length_col: str,
     chunk_size: int = 512,
     overlap: int = 64,
+    tokenizer=None,
 ) -> DataFrame:
     """Fixed-size chunking with overlap — the RAG/pretraining chunker:
     split each document's [0, length) span into windows of `chunk_size`
@@ -107,6 +134,10 @@ def chunk_spans(
     chunks; the last chunk ends at min(start + chunk_size, L). Zero/
     NULL-length docs yield no chunks.
 
+    length_col: a numeric length column (default), or — when
+    `tokenizer` is given — a TEXT column measured through the
+    tokenize.token_count_column seam (same contract as pack_sequences).
+
     Output: (id_col, chunk_idx, start, end, chunk_len)."""
     if chunk_size <= 0:
         raise ValueError(f"chunk_size must be positive, got {chunk_size}")
@@ -115,11 +146,20 @@ def chunk_spans(
             f"overlap must be in [0, chunk_size), got {overlap}"
         )
     stride = chunk_size - overlap
-    ln = F.col(length_col).cast("bigint")
-    n_chunks = F.ceil(
-        F.greatest(ln - F.lit(overlap), F.lit(1)) / F.lit(float(stride))
+    # the length is computed ONCE in its own projection, and zero/NULL
+    # lengths are dropped by NULL-gating the sequence bound (sequence
+    # with a NULL bound -> NULL -> explode emits nothing) instead of a
+    # WHERE: predicate pushdown would substitute the alias back into
+    # the filter and evaluate an Arrow tokenizer UDF twice per row
+    # (plan-asserted: exactly one ArrowEvalPython node)
+    ln = F.col("_len")
+    n_chunks = F.when(
+        ln > 0,
+        F.ceil(F.greatest(ln - F.lit(overlap), F.lit(1)) / F.lit(float(stride))),
     )
-    base = df.where(F.col(length_col).isNotNull() & (F.col(length_col) > 0))
+    base = df.select(
+        F.col(id_col), _length_expr(length_col, tokenizer).alias("_len")
+    )
     start = F.col("chunk_idx") * F.lit(stride)
     return (
         base.select(

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -176,6 +176,81 @@ class IVFIndex:
         # scan (PartitionFilters on cell_id — plan-asserted in tests)
         probed = self.assigned.where(F.col("cell_id").isin(cells))
         return cosine_topk(probed, query_vec, self.id_col, self.vec_col, k)
+
+    def query_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Batch probe as ONE distributed job: `query()` serves a single
+        driver-side vector per call, so a reranking pipeline probing
+        millions of queries would pay one driver round-trip each. Here
+        every query row is assigned its `nprobe` nearest cells by the
+        SAME broadcast-centroid distance expression the index assigns
+        data rows with (codegen'd array aggregate — identical cell
+        choice to query()'s numpy argsort, ties broken toward the lower
+        cell index in both), exploded to (query, cell_id), and
+        equi-joined on cell_id against the assignments — never a
+        cartesian/NLJ (plan-asserted in test_physical_plans). Exact
+        cosine then per-query top-k via one row_number window
+        partitioned by query id (ties break by data id, matching
+        cosine_topk).
+
+        Output: (query_id_col, id_col, cosine_sim), <= k rows per query.
+
+        Scale shape: the exploded probe side carries |Q| * nprobe narrow
+        rows; the join shuffles on cell_id (AQE broadcasts the probe
+        side when |Q| is small, and over a `persist_path` index dynamic
+        partition pruning can skip unprobed cells' files); the top-k
+        window shuffles only (query_id, id, sim) triples. NULL query
+        vectors yield no cells (excluded, same policy as build's NULL
+        guard)."""
+        n_cells = len(self.centroids)
+        cent_col = F.array(*[_vec_lit(c) for c in self.centroids])
+        qv = F.col(query_vec_col).cast("array<double>")
+        # (distance, cell) structs: array_sort orders lexicographically,
+        # so slice(nprobe) == stable argsort top-nprobe
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_cells) - 1)),
+            lambda i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.element_at(cent_col, (i + 1).cast("int")),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                i.alias("cell"),
+            ),
+        )
+        probe = F.transform(
+            F.slice(F.array_sort(pairs), 1, int(nprobe)),
+            lambda s: s["cell"].cast("int"),
+        )
+        exploded = queries.where(F.col(query_vec_col).isNotNull()).select(
+            F.col(query_id_col),
+            qv.alias("_qv"),
+            F.explode(probe).alias("cell_id"),
+        )
+        scored = self.assigned.join(exploded, "cell_id").select(
+            F.col(query_id_col),
+            F.col(self.id_col),
+            cosine(F.col(self.vec_col).cast("array<double>"),
+                   F.col("_qv")).alias("cosine_sim"),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cosine_sim").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= int(k))
+            .drop("_rk")
+        )
 
 
 # ---------------------------------------------------------------------------
