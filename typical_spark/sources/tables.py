@@ -44,6 +44,64 @@ def write_output(df: DataFrame, target: str, mode: str = "append") -> None:
         df.write.mode("append" if mode == "append" else "overwrite").parquet(target)
 
 
+def merge_keyed(df: DataFrame, target: str, key_cols: list[str]) -> None:
+    """Exactly-once keyed upsert through the TableIO seam: rows in `df`
+    REPLACE any existing target rows with the same key; everything else
+    is retained. Re-applying the same batch is therefore a no-op — the
+    idempotent-append primitive a retried foreachBatch micro-batch
+    needs (streaming/incremental.py), where a plain .mode('append')
+    duplicates rows on redelivery.
+
+    iceberg:// targets run a real MERGE INTO (WHEN MATCHED UPDATE SET *
+    / WHEN NOT MATCHED INSERT *) — atomic snapshot commit, the
+    production path. The local-parquet stand-in rewrites the table
+    (anti-join old rows on the keys, union the batch, write to a
+    sibling tmp dir, swap): correct and idempotent, but the swap is not
+    crash-atomic and the rewrite is O(table) per merge — fine for a
+    sandbox index, wrong at lake scale, which is exactly why the seam
+    exists. Missing target == empty table (first micro-batch).
+
+    NOTE for repeated merges in one job: the caller must ensure `df` is
+    deterministic or materialized (foreachBatch batches are), since the
+    stand-in reads the target it is about to replace."""
+    if not key_cols:
+        raise ValueError("merge_keyed requires at least one key column")
+    if target.startswith("iceberg://"):
+        tbl = target[len("iceberg://"):]
+        spark = df.sparkSession
+        df.createOrReplaceTempView("_merge_src")
+        on = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+        spark.sql(
+            f"MERGE INTO {tbl} t USING _merge_src s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    if os.path.exists(target):
+        existing = spark.read.parquet(target)
+        keys = df.select(*key_cols).dropDuplicates()
+        merged = existing.join(keys, key_cols, "left_anti").unionByName(df)
+    else:
+        merged = df
+    parent = os.path.dirname(os.path.abspath(target)) or "."
+    os.makedirs(parent, exist_ok=True)  # first merge creates the lineage
+    tmp = tempfile.mkdtemp(prefix="._merge_", dir=parent)
+    try:
+        # write fully before touching the target; localCheckpoint-free
+        # because the tmp write IS the materialization barrier
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.replace(tmp, target)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

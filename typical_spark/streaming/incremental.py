@@ -23,13 +23,33 @@ Delivery semantics: foreachBatch is at-least-once — a retried
 micro-batch re-appends its index rows and may re-emit pairs. The
 handler anti-joins the batch's own ids out of the corpus side before
 matching, so a redelivered batch whose rows already landed in the index
-can NOT match itself (no (id,id) or spurious within-batch pairs). Band
-joins are dropDuplicates'd per run, so duplicated INDEX rows only cost
-work, never wrong jaccard values; re-emitted (identical) pair rows are
-the remaining duplicate class — consumers read DISTINCT, or key the
-sink. On a real lake both appends are Iceberg MERGE INTO keyed by _id,
-which restores exactly-once; plain parquet appends are the sandbox
-stand-in.
+can NOT match itself (no (id,id) or spurious within-batch pairs).
+
+Two sink modes close the remaining duplicate class:
+
+- upsert=True (default): every write goes through the TableIO keyed
+  upsert (`sources.tables.merge_keyed`) — shingles keyed by _id, bands
+  by (_id, band), pairs by (new_id, corpus_id). A redelivered
+  micro-batch replaces its own identical rows, so the index AND the
+  pairs sink are row-identical to a single delivery (exactly-once
+  observable state; test_streaming pins this). On iceberg:// paths
+  merge_keyed is a real MERGE INTO with atomic snapshot commits; the
+  local-parquet stand-in rewrites the table per merge (O(table) — the
+  sandbox price, which is why the seam exists).
+- upsert=False: plain parquet appends — cheapest writes; duplicated
+  index rows only cost work (band joins dropDuplicates per run, never
+  wrong jaccard values) and re-emitted identical pair rows remain, so
+  consumers read DISTINCT or key the sink downstream.
+
+Redelivery != backfill: checkpoint redelivery only ever replays the
+LAST uncommitted micro-batch (committed batches never rewind), which
+both guards above make a state no-op. Re-running an OLD batch against
+an index that already holds LATER batches (fresh checkpoint over the
+same source while keeping the index) is a different operation — each
+old document would "detect" every newer near-dup in REVERSED
+(new_id, corpus_id) orientation. To backfill, reset the index with the
+checkpoint or use the batch operator (minhash_near_duplicates) over
+the full corpus.
 """
 
 from __future__ import annotations
@@ -58,12 +78,16 @@ def minhash_stream_dedup(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.7,
     trigger_seconds: int | None = None,
+    upsert: bool = True,
 ):
     """Start the incremental-dedup stream. Returns the StreamingQuery.
 
     index_dir: the standing minhash index (shingles/ + bands/ parquet;
-    created on first batch). pairs_dir: append sink of
-    (new_id, corpus_id, jaccard) detections."""
+    created on first batch). pairs_dir: sink of
+    (new_id, corpus_id, jaccard) detections. upsert: keyed exactly-once
+    writes via merge_keyed (see module docstring) vs plain appends."""
+    from typical_spark.sources.tables import merge_keyed
+
     sh_path = os.path.join(index_dir, "shingles")
     band_path = os.path.join(index_dir, "bands")
 
@@ -93,10 +117,17 @@ def minhash_stream_dedup(
             pairs = minhash_cross_duplicates_prebanded(
                 sh_new, band_new, corpus_sh, corpus_band, jaccard_threshold
             )
-            pairs.write.mode("append").parquet(pairs_dir)
+            if upsert:
+                merge_keyed(pairs, pairs_dir, ["new_id", "corpus_id"])
+            else:
+                pairs.write.mode("append").parquet(pairs_dir)
         # grow the index AFTER the check: a batch never matches itself
-        sh_new.write.mode("append").parquet(sh_path)
-        band_new.write.mode("append").parquet(band_path)
+        if upsert:
+            merge_keyed(sh_new, sh_path, ["_id"])
+            merge_keyed(band_new, band_path, ["_id", "band"])
+        else:
+            sh_new.write.mode("append").parquet(sh_path)
+            band_new.write.mode("append").parquet(band_path)
         release_cache(band_new)  # the shared shingle persist is done
 
     return streaming_verdicts(stream, handle, checkpoint_dir, trigger_seconds)
