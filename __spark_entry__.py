@@ -1084,6 +1084,20 @@ def q_documents_span_para(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_documents_span_para_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored keep-first strip rewrite (spans.py): the strip-capable
+    answer to mid-document boilerplate — anchored grids still partition
+    the normalized stream, so kept windows re-concatenate exactly,
+    while the multi-phase detector's overlapping phases never could.
+    Same deterministic 'spark'-token boundary as documents_span_para."""
+    from typical_spark.operators.spans import strip_duplicate_spans_anchored
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicate_spans_anchored(
+        docs, "doc_id", "text", span_tokens=10, boundary=r"\bspark\b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -1161,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pii": q_documents_pii,
         "documents_top_tokens": q_documents_top_tokens,
         "documents_nfc": q_documents_nfc,
+        "documents_span_para_clean": q_documents_span_para_clean,
     }
 
 
@@ -2426,6 +2441,59 @@ def oracle_sql() -> dict[str, str]:
                    s.end_token, g.n_docs_sharing
             FROM spans s JOIN grp g USING (h)
             WHERE g.n_docs_sharing >= 2
+        """,
+        "documents_span_para_clean": """
+            -- anchored keep-first rewrite: first (doc_id, start_token)
+            -- occurrence of each anchored window survives; kept windows
+            -- rejoin in global start_token order
+            WITH segs AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+                       a[i + 1] AS seg
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(text, '\\bspark\\b') AS a
+                      FROM documents WHERE text IS NOT NULL),
+                     unnest(range(len(a))) AS t(i)
+            ), words AS (
+                SELECT doc_id, para_idx,
+                       str_split(trim(regexp_replace(regexp_replace(
+                           lower(seg), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' ') AS w
+                FROM segs
+            ), counted AS (
+                SELECT doc_id, para_idx, w,
+                       CASE WHEN len(w) > 0 AND w[1] <> ''
+                            THEN len(w) ELSE 0 END AS n
+                FROM words
+            ), based AS (
+                SELECT doc_id, para_idx, w, n,
+                       CAST(coalesce(sum(n) OVER (
+                           PARTITION BY doc_id ORDER BY para_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS base
+                FROM counted
+            ), spans AS (
+                SELECT doc_id,
+                       CAST(base + i * 10 AS BIGINT) AS start_token,
+                       array_to_string(
+                           list_slice(w, i * 10 + 1, i * 10 + 10), ' ')
+                           AS span
+                FROM based,
+                     unnest(range(CAST((n + 9) // 10 AS BIGINT))) AS t(i)
+                WHERE n > 0
+            ), flagged AS (
+                SELECT doc_id, start_token, span,
+                       (row_number() OVER (
+                            PARTITION BY md5(span)
+                            ORDER BY doc_id, start_token) = 1) AS kept
+                FROM spans
+            )
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_dropped,
+                   coalesce(string_agg(CASE WHEN kept THEN span END,
+                                       ' ' ORDER BY start_token), '')
+                       AS clean_text
+            FROM flagged GROUP BY doc_id
         """,
         "events_urls": """
             -- known-answer oracle for the URL parse-to-struct kernel:

@@ -867,3 +867,45 @@ def test_span_anchored_offsets_and_empty_segments(spark):
         _anchored_span_rows(df2, "doc_id", "text", 4, r"[.!?\n]+")
         .where(F.col("doc_id").isNull()).count() == 0
     )
+
+
+def test_strip_duplicate_spans_anchored_golden(spark):
+    """Anchored keep-first rewrite: mid-document boilerplate the fixed
+    grid can't even SEE is removed from the later document, the first
+    occurrence and all unique text survive, and untouched documents
+    reconstruct their full normalized stream."""
+    from typical_spark.operators.dedup import release_cache
+    from typical_spark.operators.spans import (
+        strip_duplicate_spans,
+        strip_duplicate_spans_anchored,
+    )
+
+    rows = [
+        (1, "intro text here. alpha beta gamma delta! closing words"),
+        (2, "a longer different opening sentence here. alpha beta gamma"
+            " delta. trailing stuff"),
+        (3, "nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # fixed grid: nothing detected -> nothing stripped
+    fixed = {r["doc_id"]: r
+             for r in strip_duplicate_spans(df, "doc_id", "text", 4).collect()}
+    assert all(r["n_dropped"] == 0 for r in fixed.values())
+
+    out = strip_duplicate_spans_anchored(df, "doc_id", "text", span_tokens=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc1 keeps the block (smaller doc_id), doc2 loses it
+    assert got[1]["n_dropped"] == 0
+    assert got[1]["clean_text"] == (
+        "intro text here alpha beta gamma delta closing words"
+    )
+    assert got[2]["n_dropped"] == 1
+    assert got[2]["clean_text"] == (
+        "a longer different opening sentence here trailing stuff"
+    )
+    assert got[3]["n_dropped"] == 0
+    assert got[3]["clean_text"] == "nothing shared at all here"
+    # window accounting: doc2 = para0 (6 toks -> 2 windows) + shared
+    # window + trailing 2 tokens
+    assert got[2]["n_spans"] == 4
+    release_cache(out)

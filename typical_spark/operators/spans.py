@@ -384,3 +384,67 @@ def strip_duplicate_spans(
     )
     out._owned_cache = [keyed]
     return out
+
+
+def strip_duplicate_spans_anchored(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    boundary: str = r"[.!?\n]+",
+) -> DataFrame:
+    """Keep-first rewrite over BOUNDARY-ANCHORED windows: the anchored
+    twin of `strip_duplicate_spans` (same reference keep-first contract,
+    typic/constraints/array.py:30-87). Anchored grids partition each
+    document's normalized stream exactly like the fixed grid does
+    (paragraph grids are non-overlapping and paragraphs partition the
+    stream), so reconstruction stays exact: kept windows concatenated
+    in start_token order ARE the cleaned normalized document — but now
+    a boilerplate block pasted mid-document at an unaligned offset is
+    actually in the dedup space, so the rewrite removes the dominant
+    real-world case the fixed grid misses (the multi-phase detector
+    can only FLAG those; overlapping phases cannot be re-concatenated,
+    which is why anchoring, not phases, is the strip-capable answer).
+
+    Keep-first identity is the smallest (doc_id, start_token) in each
+    window group — one map-side-combinable min(struct) aggregate, no
+    window sort. Output matches strip_duplicate_spans:
+    (doc_id, n_spans, n_dropped, clean_text). Same cache price: the
+    keyed table carries window text (~the normalized corpus); callers
+    release via dedup.release_cache."""
+    spans = _anchored_span_rows(df, id_col, text_col, span_tokens, boundary)
+    keyed = spans.withColumn("_h", F.md5(F.col("_span"))).persist()
+    keepers = keyed.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "start_token")).alias("_keep")
+    )
+    flagged = keyed.join(keepers, "_h").withColumn(
+        "_kept",
+        (F.col("doc_id") == F.col("_keep.doc_id"))
+        & (F.col("start_token") == F.col("_keep.start_token")),
+    )
+    out = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(~F.col("_kept"), 1).otherwise(0)).alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct(
+                                    "start_token", F.col("_span").alias("t")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_spans", "n_dropped", "clean_text")
+    )
+    out._owned_cache = [keyed]
+    return out
