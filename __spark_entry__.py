@@ -1098,6 +1098,43 @@ def q_documents_span_para_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_documents_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (doc-inside-doc): shingle containment
+    |S(a)&S(b)|/|S(a)| >= 0.8 via lossless rarest-shingle prefix
+    filtering + exact array_intersect verify (dedup.py). The excerpt
+    case Jaccard near-dup structurally misses; keep-first semantics per
+    the reference's typic/constraints/array.py:30-87."""
+    from typical_spark.operators.dedup import containment_duplicates, release_cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = containment_duplicates(docs, "doc_id", "text", threshold=0.8)
+    res = out.select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment_r")
+    )
+    res._owned_cache = getattr(out, "_owned_cache", [])
+    return res
+
+
+def q_embeddings_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN probe, exact configuration: IVFIndex.query_batch with
+    nprobe == n_cells probes EVERY cell, so the one-job batch path
+    (broadcast-centroid cell assignment -> explode -> cell_id equi-join
+    -> per-query row_number top-k) is exact brute-force top-k and can be
+    graded cross-engine — the batch machinery itself, not just its
+    single-vector twin, gets an oracle."""
+    from typical_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex.build(emb, n_cells=8)
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = idx.query_batch(queries_df, k=5, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 3).alias("sim_r")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -1108,7 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 entries. There are more green queries than driver slots, so the
     back-of-queue set ROTATES each round (round 5: the 5 TPC-style
     aggregation queries are back inside the window per the round-4
-    verdict; 7 long-stable text-analysis queries rotate out) so every
+    verdict, and the round-5-new queries (span_para_clean, containment,
+    batch_topk) are in-window; 10 long-stable text-analysis queries
+    rotate out and return in round 6) so every
     entry gets a driver-graded row at least every other round. Entries
     past the cut stay under an AUTOMATIC local gate:
     tests/test_transcripts_oracle.py::test_rotated_out_queries_still_green
@@ -1140,9 +1179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_curated": q_documents_curated,
         "events_urls": q_events_urls,
         "events_asof_attribution": q_events_asof_attribution,
-        "documents_tfidf": q_documents_tfidf,
-        "documents_lm_score": q_documents_lm_score,
-        "documents_mixture": q_documents_mixture,
         "documents_cross_dups": q_documents_cross_dups,
         "documents_chunks": q_documents_chunks,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -1160,6 +1196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_span_clean": q_documents_span_clean,
         "documents_span_dups_mp": q_documents_span_dups_mp,
         "documents_span_para": q_documents_span_para,
+        "documents_span_para_clean": q_documents_span_para_clean,
+        "documents_containment": q_documents_containment,
+        "embeddings_batch_topk": q_embeddings_batch_topk,
         "lineitem_stats": q_lineitem_stats,
         "orders_grouped_stats": q_orders_grouped_stats,
         "pricing_summary": q_pricing_summary,
@@ -1175,7 +1214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pii": q_documents_pii,
         "documents_top_tokens": q_documents_top_tokens,
         "documents_nfc": q_documents_nfc,
-        "documents_span_para_clean": q_documents_span_para_clean,
+        "documents_tfidf": q_documents_tfidf,
+        "documents_lm_score": q_documents_lm_score,
+        "documents_mixture": q_documents_mixture,
     }
 
 
@@ -2494,6 +2535,54 @@ def oracle_sql() -> dict[str, str]:
                                        ' ' ORDER BY start_token), '')
                        AS clean_text
             FROM flagged GROUP BY doc_id
+        """,
+        # exact all-pairs twin of the engine's prefix-filtered
+        # containment join: same normalization + distinct 3-word
+        # shingles as the minhash oracles; prefix filtering is lossless
+        # so the outputs are identical sets.
+        "documents_containment": r"""
+            WITH w AS (
+                SELECT doc_id, string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                    '\s+', ' ', 'g')), ' ') AS w
+                FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM w
+            ),
+            sized AS (SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / a.sz AS c
+                FROM sized a JOIN sized b ON a.doc_id <> b.doc_id
+            )
+            SELECT id_a, id_b, round(c, 4) AS containment_r
+            FROM pairs WHERE c >= 0.8
+        """,
+        # exact twin of query_batch at nprobe == n_cells (all cells
+        # probed == brute force); ties at the k boundary break by vec_id
+        # in both engines.
+        "embeddings_batch_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qv) AS s
+                FROM embeddings e, q
+            ),
+            rk AS (
+                SELECT query_id, vec_id, s,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY s DESC, vec_id ASC) AS r
+                FROM scored
+            )
+            SELECT query_id, vec_id, round(s, 3) AS sim_r
+            FROM rk WHERE r <= 5
         """,
         "events_urls": """
             -- known-answer oracle for the URL parse-to-struct kernel:

@@ -909,3 +909,96 @@ def test_strip_duplicate_spans_anchored_golden(spark):
     # window + trailing 2 tokens
     assert got[2]["n_spans"] == 4
     release_cache(out)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (doc-inside-doc)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc pasted verbatim inside a much longer doc: Jaccard is
+    tiny (minhash near-dup structurally misses it) but containment is
+    1.0 — the quote/excerpt/decontamination case the operator exists
+    for."""
+    from typical_spark.operators.dedup import (
+        containment_duplicates,
+        minhash_near_duplicates,
+        release_cache,
+    )
+
+    excerpt = (
+        "the quick brown fox jumps over the lazy dog near the river bank"
+    )
+    filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(80))
+    rows = [
+        (1, excerpt),
+        (2, filler[: len(filler) // 2] + " " + excerpt + " "
+            + filler[len(filler) // 2:]),
+        (3, "completely unrelated text about cooking pasta with basil"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = containment_duplicates(df, "doc_id", "text", threshold=0.8)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert all(3 not in p for p in got)
+    # the big doc is NOT contained in the small one
+    assert (2, 1) not in got
+    release_cache(out)
+
+    # and minhash at a typical near-dup threshold misses the pair
+    mh = minhash_near_duplicates(df, "doc_id", "text", jaccard_threshold=0.5)
+    mh_pairs = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    assert (1, 2) not in mh_pairs and (2, 1) not in mh_pairs
+    release_cache(mh)
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """Prefix filtering must be candidate-complete: the operator's output
+    equals brute-force all-pairs containment on the same shingle sets."""
+    import itertools
+    import random
+
+    from typical_spark.operators.dedup import (
+        containment_duplicates,
+        release_cache,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for doc_id in range(24):
+        n = rng.randint(5, 30)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant a guaranteed containment pair
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[3][1] + " " + rows[5][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    thr = 0.6
+    out = containment_duplicates(df, "doc_id", "text", threshold=thr)
+    got = {(r["id_a"], r["id_b"]): round(r["containment"], 9)
+           for r in out.collect()}
+    release_cache(out)
+
+    # brute force on identically-normalized 3-word shingles
+    def shingles(text):
+        import re
+        toks = re.sub(r"\s+", " ",
+                      re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip().split()
+        if len(toks) < 3:
+            return set([" ".join(toks)]) if toks else set()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {d: shingles(t) for d, t in rows}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        if not sets[a]:
+            continue
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if c >= thr:
+            want[(a, b)] = round(c, 9)
+    assert got == want
+    assert (100, 0) in want  # the planted pairs actually exercised the check
+    assert (0, 100) in want

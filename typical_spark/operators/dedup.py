@@ -730,3 +730,103 @@ def minhash_cross_duplicates(
     )
     out._owned_cache = [sh_new, sh_cor]  # release_cache(out) after use
     return out
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (doc-inside-doc)
+# ---------------------------------------------------------------------------
+
+
+def containment_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Asymmetric containment pairs: (id_a, id_b, containment_r) where
+    containment(a in b) = |S(a) & S(b)| / |S(a)| >= threshold over
+    distinct word-`shingle_words` shingles, id_a != id_b.
+
+    Jaccard-based near-dup (minhash/simhash) structurally MISSES the
+    quote/excerpt case: a 100-shingle doc fully pasted inside a
+    5000-shingle doc has Jaccard ~0.02 but containment 1.0. Training
+    pipelines deduplicate these (the small doc adds no new tokens) and
+    decontamination REQUIRES them (a benchmark item quoted inside a crawl
+    page). Keep-first semantics mirror the reference's array uniqueness
+    contract (typic/constraints/array.py:30-87): the contained (smaller)
+    side is the candidate for removal, reported as id_a.
+
+    Scale design — lossless PREFIX FILTERING (Chaudhuri et al. SSJoin;
+    Vernica et al., "Efficient Parallel Set-Similarity Joins Using
+    MapReduce", SIGMOD'10) instead of the O(n^2) all-pairs join:
+    if |S(a) & S(b)| >= t where t = ceil(threshold * |S(a)|), then by
+    pigeonhole ANY fixed (|S(a)| - t + 1)-subset of S(a) intersects
+    S(b). Each doc therefore indexes only its |S(a)| - t + 1 rarest
+    shingles (global document-frequency order, ties by shingle) — the
+    candidate join is prefix(a) x full(b) on the shingle key, and the
+    hot boilerplate shingles that would skew a naive inverted-index join
+    sit at the END of the frequency order, so they essentially never
+    enter a prefix: the join's per-key fan-out is (rare shingle) x (its
+    few holders). Exact verify then computes true containment per
+    candidate pair from the per-doc shingle arrays (same columnar
+    array_intersect verify as minhash_near_duplicates) — candidate
+    generation is lossless, so the output is EXACTLY the all-pairs
+    result. One groupBy (doc-frequency), one window (per-doc frequency
+    rank), one equi-join on shingle, one verify join: all narrow rows
+    except the verify's bounded per-doc arrays.
+
+    At 10^9+ docs compose with exact_duplicates first (collapse
+    byte-identical groups to representatives) exactly as
+    minhash_near_duplicates' collapse_exact does — containment within an
+    exact group is trivially 1.0 both ways.
+
+    Output: (id_a, id_b, containment) — id_a contained in id_b.
+    Caller releases the persisted shingle table via release_cache(out).
+    """
+    from pyspark.sql import Window
+
+    df = _ensure_parallelism(df)
+    arrs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), shingle_words).alias("_sh_arr"),
+        )
+        .where(F.size("_sh_arr") > 0)
+        .persist()
+    )
+    sh = arrs.select("_id", F.size("_sh_arr").alias("_sz"),
+                     F.explode("_sh_arr").alias("_sh"))
+    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    # prefix length |S(a)| - ceil(tau*|S(a)|) + 1; rank rarest-first
+    rk = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_sh").asc())
+    prefix = (
+        sh.join(dfreq, "_sh")
+        .withColumn("_rk", F.row_number().over(rk))
+        .where(
+            F.col("_rk")
+            <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+        )
+        .select(F.col("_id").alias("id_a"), "_sh")
+    )
+    cand = (
+        prefix.join(sh.select(F.col("_id").alias("id_b"), "_sh"), "_sh")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = (
+        cand.join(arrs.select(F.col("_id").alias("id_a"),
+                              F.col("_sh_arr").alias("sh_a")), "id_a")
+        .join(arrs.select(F.col("_id").alias("id_b"),
+                          F.col("_sh_arr").alias("sh_b")), "id_b")
+        .withColumn(
+            "containment",
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size("sh_a")).cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    out._owned_cache = [arrs]
+    return out
