@@ -281,3 +281,36 @@ def test_ivf_query_batch_is_equi_join(spark):
     p = _plan_str(out)
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert ("HashJoin" in p) or ("SortMergeJoin" in p)
+
+
+def test_quality_expr_scorer_has_no_shuffle(spark):
+    """score_documents_expr claims a single codegen'd projection — the
+    scan IS the scorer. Zero Exchange anywhere in the plan; the filter
+    (n_tokens > 0) stays in the scan stage."""
+    from typical_spark.operators.quality_model import score_documents_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan_str(score_documents_expr(docs, "doc_id", "text", dim=8192))
+    assert "Exchange" not in p
+    assert "codegen id" in p
+
+
+def test_semantic_duplicates_cell_join_is_equi(spark):
+    """SemDeDup's candidate join must be an equi-join on cell_id — never
+    CartesianProduct/NestedLoop even at n_cells=1 (the contract config):
+    blocking cost is bounded by cell sizes, not |corpus|^2 planning."""
+    import numpy as np
+    import pandas as pd
+
+    from typical_spark.operators.similarity import semantic_duplicates
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(200),
+        "embedding": [v.tolist() for v in rng.standard_normal((200, 8))],
+    }))
+    out = semantic_duplicates(df, "vec_id", "embedding", n_cells=2,
+                              sample_size=100)
+    p = _plan_str(out)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert ("HashJoin" in p) or ("SortMergeJoin" in p)

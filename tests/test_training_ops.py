@@ -1002,3 +1002,171 @@ def test_containment_prefix_filter_is_lossless(spark):
     assert got == want
     assert (100, 0) in want  # the planted pairs actually exercised the check
     assert (0, 100) in want
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering (fasttext/CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_model_train_and_score(spark):
+    """Train the hashed-BoW logistic gate on a separable synthetic
+    corpus; held-out accuracy must be high, and the distributed
+    broadcast-join scorer must match a driver-side numpy replay on
+    Spark-computed buckets (no hash parity assumptions)."""
+    import random
+
+    from typical_spark.operators.quality_model import (
+        QualityModel,
+        hashed_bucket,
+    )
+
+    rng = random.Random(3)
+    good = [f"signal{i}" for i in range(20)]
+    bad = [f"sludge{i}" for i in range(20)]
+    neutral = [f"filler{i}" for i in range(10)]
+    rows = []
+    for doc_id in range(120):
+        label = doc_id % 2
+        pool = (good if label else bad) * 3 + neutral
+        text = " ".join(rng.choice(pool) for _ in range(30))
+        rows.append((doc_id, text, label))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    train_df = df.where(F.col("doc_id") < 80)
+    model = QualityModel.train(
+        train_df, "doc_id", "text", "label",
+        dim=256, iters=300, lr=5.0, seed=7,
+    )
+    scored = model.score(df, "doc_id", "text")
+    got = {r["doc_id"]: r for r in scored.collect()}
+    assert len(got) == 120
+    held = [(d, l) for d, _, l in rows if d >= 80]
+    acc = sum(
+        1 for d, l in held if (got[d]["prob"] >= 0.5) == bool(l)
+    ) / len(held)
+    assert acc >= 0.9
+
+    # numpy replay of the broadcast-join path on Spark-computed buckets
+    from typical_spark.functions.text_analysis import split_normalized
+
+    brows = df.select(
+        "doc_id",
+        F.transform(
+            split_normalized(F.col("text")),
+            lambda t: hashed_bucket(t, 256).cast("int"),
+        ).alias("b"),
+    ).collect()
+    for r in brows[:20]:
+        w = model.weights[np.array(r["b"], dtype=np.int64)]
+        want = float(w.mean())
+        assert abs(got[r["doc_id"]]["score"] - want) < 1e-9
+        p = 1.0 / (1.0 + np.exp(-(want + model.bias)))
+        assert abs(got[r["doc_id"]]["prob"] - p) < 1e-9
+
+
+def test_quality_model_rejects_bad_dim(spark):
+    from typical_spark.operators.quality_model import hashed_bucket
+
+    with pytest.raises(ValueError):
+        hashed_bucket(F.lit("x"), 1000)  # not a power of two
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _semantic_fixture(spark):
+    """3 well-separated clusters (one-hot*10 centers + noise) with one
+    planted near-copy per cluster; returns (df, copy_pairs)."""
+    rng = np.random.default_rng(11)
+    rows, copies = [], []
+    vid = 0
+    for c in range(3):
+        center = np.zeros(8)
+        center[c] = 10.0
+        members = []
+        for _ in range(8):
+            v = center + rng.normal(0, 3.0, 8)
+            members.append((vid, v))
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        src_id, src_v = members[2]
+        dup = src_v + rng.normal(0, 0.01, 8)
+        rows.append((vid, [float(x) for x in dup]))
+        copies.append((src_id, vid))
+        vid += 1
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        copies,
+    )
+
+
+def test_semantic_duplicates_blocking_parity(spark):
+    """k-means cell blocking must agree with the complete n_cells=1 pass
+    when eps-pairs never straddle cluster boundaries (well-separated
+    fixture) — the SemDeDup approximation is exact here."""
+    from typical_spark.operators.similarity import semantic_duplicates
+
+    df, copies = _semantic_fixture(spark)
+    exact = {
+        (r["vec_id"], r["kept"], r["dup_of"])
+        for r in semantic_duplicates(
+            df, "vec_id", "embedding", n_cells=1, eps_cosine=0.97
+        ).collect()
+    }
+    blocked = {
+        (r["vec_id"], r["kept"], r["dup_of"])
+        for r in semantic_duplicates(
+            df, "vec_id", "embedding", n_cells=3, eps_cosine=0.97,
+            sample_size=100,
+        ).collect()
+    }
+    assert blocked == exact
+    got = {r[0]: r for r in exact}
+    for src, dup in copies:
+        assert got[dup][1] is False  # planted copy dropped
+        assert got[dup][2] is not None and got[dup][2] <= src
+        assert got[src][1] is True or got[src][2] < src
+
+
+def test_semantic_duplicates_chain_rule_and_nulls(spark):
+    """The keep-first rule is one-sided: B drops because of A, C drops
+    because of B even though B itself is dropped (eps-closeness is not
+    transitive, unlike the reference's equality scan — documented).
+    NULL vectors are kept."""
+    import math
+
+    from typical_spark.operators.similarity import (
+        semantic_duplicates,
+        semantic_survivors,
+    )
+
+    def rot(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    t = math.acos(0.96)
+    rows = [
+        (1, rot(0.0)),       # kept
+        (2, rot(t)),         # cos(1,2)=0.96 -> dropped, dup_of=1
+        (3, rot(2 * t)),     # cos(2,3)=0.96, cos(1,3)~0.843 -> dup_of=2
+        (4, None),           # NULL vector: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["kept"], r["dup_of"])
+        for r in semantic_duplicates(
+            df, "vec_id", "embedding", n_cells=1, eps_cosine=0.95
+        ).collect()
+    }
+    assert out[1] == (True, None)
+    assert out[2] == (False, 1)
+    assert out[3] == (False, 2)  # dropped by a row that is itself dropped
+    assert out[4] == (True, None)
+
+    surv = semantic_survivors(
+        df, "vec_id", "embedding", n_cells=1, eps_cosine=0.95
+    )
+    assert {r["vec_id"] for r in surv.collect()} == {1, 4}
+    assert surv.columns == ["vec_id", "embedding"]

@@ -411,6 +411,98 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    eps_cosine: float = 0.95,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    index: "IVFIndex | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster blocking, then within-cluster
+    cosine eps-ball dedup with keep-first (min-id) semantics — the
+    standard "remove semantically redundant web data" pass that
+    typically prunes 20-50% of a crawl with no quality loss.
+
+    Keep rule (mirrors the reference's keep-first array-uniqueness
+    contract, typic/constraints/array.py:30-87): a row is DROPPED iff
+    some SMALLER id in its cell has cosine >= eps_cosine with it,
+    regardless of whether that smaller row itself survives — the same
+    "equal to an earlier element" scan the reference runs, generalized
+    from equality to an eps-ball. This one-sided rule needs no
+    connected-components iteration and is deterministic.
+
+    Output: one row per input row — (id_col, kept boolean,
+    dup_of nullable) where dup_of is the SMALLEST offending earlier id
+    (NULL when kept). NULL vectors are kept (no evidence of redundancy)
+    with dup_of NULL.
+
+    Scale shape: blocking is the IVF cell assignment (broadcast-centroid
+    codegen expression, zero shuffle); the candidate join is an
+    equi-join on cell_id with id_a < id_b — per-cell all-pairs is the
+    SemDeDup design point (pick n_cells ~ n/target_cell_size so cells
+    stay 1-10k rows; the paper uses 50k clusters for LAION-scale). The
+    cell join must carry vectors (cosine needs them) — inherent to the
+    algorithm; compose with embedding exact-collapse first at web
+    duplication rates, exactly as embedding_near_duplicates does.
+    Documented recall limit: an eps-pair whose members quantize into
+    DIFFERENT cells is missed (the paper's own approximation); the
+    contract configuration uses n_cells=1 where blocking is complete.
+    """
+    idx = index or IVFIndex.build(
+        df, id_col, vec_col, n_cells=n_cells,
+        sample_size=sample_size, seed=seed,
+    )
+    assigned = idx.assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        "cell_id",
+    ).where(F.col("_id").isNotNull())
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cell_id"
+    ).where(F.col("_va").isNotNull())
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cell_id"
+    ).where(F.col("_vb").isNotNull())
+    dup_of = (
+        a.join(b, "cell_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (dot(F.col("_va"), F.col("_vb"))
+             / (l2_norm(F.col("_va")) * l2_norm(F.col("_vb"))))
+            >= F.lit(float(eps_cosine))
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(dup_of, F.col(id_col) == F.col("id_b"), "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
+def semantic_survivors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """The rows semantic_duplicates keeps, with original columns — the
+    drop-in corpus-pruning form (left-semi join on the kept ids; the
+    verdict frame stays narrow)."""
+    verdict = semantic_duplicates(df, id_col, vec_col, **kwargs)
+    kept = verdict.where(F.col("kept")).select(id_col)
+    return df.join(kept, id_col, "left_semi")
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
