@@ -1187,6 +1187,20 @@ def q_embeddings_semantic_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_documents_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order
+    (sampling.global_shuffle): every doc gets a (shard, pos) — stable
+    across runs/cluster sizes, per-shard windows only (no global sort;
+    plan-pinned in test_physical_plans). The oracle replays the same
+    62-bit-masked md5 hash rank per shard."""
+    from typical_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -1198,9 +1212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     back-of-queue set ROTATES each round (round 5: the 5 TPC-style
     aggregation queries are back inside the window per the round-4
     verdict, and the round-5-new queries (span_para_clean, containment,
-    batch_topk, quality_model, semantic_dups) are in-window;
-    10 long-stable text-analysis queries plus events_hourly_rollup and
-    events_rolling_counts rotate out and return in round 6) so every
+    batch_topk, quality_model, semantic_dups, shuffle) are in-window;
+    10 long-stable text-analysis queries plus events_hourly_rollup,
+    events_rolling_counts and documents_chunks rotate out and return in
+    round 6) so every
     entry gets a driver-graded row at least every other round. Entries
     past the cut stay under an AUTOMATIC local gate:
     tests/test_transcripts_oracle.py::test_rotated_out_queries_still_green
@@ -1233,7 +1248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_urls": q_events_urls,
         "events_asof_attribution": q_events_asof_attribution,
         "documents_cross_dups": q_documents_cross_dups,
-        "documents_chunks": q_documents_chunks,
         "events_value_outliers": q_events_value_outliers,
         "events_value_quantiles": q_events_value_quantiles,
         "embeddings_quantized": q_embeddings_quantized,
@@ -1252,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_batch_topk": q_embeddings_batch_topk,
         "documents_quality_model": q_documents_quality_model,
         "embeddings_semantic_dups": q_embeddings_semantic_dups,
+        "documents_shuffle": q_documents_shuffle,
         "lineitem_stats": q_lineitem_stats,
         "orders_grouped_stats": q_orders_grouped_stats,
         "pricing_summary": q_pricing_summary,
@@ -1262,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_rotated_out_queries_still_green + tools/check_oracles.py)
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_rolling_counts": q_events_rolling_counts,
+        "documents_chunks": q_documents_chunks,
         "documents_token_stats": q_documents_token_stats,
         "documents_lang_id": q_documents_lang_id,
         "documents_quality": q_documents_quality,
@@ -2686,6 +2702,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.vec_id, d.dup_of IS NULL AS kept, d.dup_of
             FROM corpus c LEFT JOIN dup d ON c.vec_id = d.id_b
+        """,
+        # deterministic shuffle: same 62-bit-masked hash (signed and
+        # unsigned views order identically), shard = low 3 bits, pos =
+        # per-shard hash rank with id tie-break
+        "documents_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5_number_lower(CAST(doc_id AS VARCHAR) || ':42')
+                           & 4611686018427387903 AS hv
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+            SELECT doc_id, CAST(hv & 7 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY hv & 7 ORDER BY hv, doc_id
+                   ) AS BIGINT) AS pos
+            FROM h
         """,
         "events_urls": """
             -- known-answer oracle for the URL parse-to-struct kernel:

@@ -314,3 +314,17 @@ def test_semantic_duplicates_cell_join_is_equi(spark):
     p = _plan_str(out)
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert ("HashJoin" in p) or ("SortMergeJoin" in p)
+
+
+def test_global_shuffle_never_global_sorts(spark):
+    """global_shuffle's ranking must be per-shard: one hash partition
+    exchange on shard, never a range-partition (global sort) or
+    single-partition exchange — the difference between n_shards-way
+    parallel ranking and one task sorting the corpus."""
+    from typical_spark.operators.sampling import global_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan_str(global_shuffle(docs, "doc_id", n_shards=64))
+    assert "hashpartitioning(shard" in p
+    assert "rangepartitioning" not in p
+    assert "SinglePartition" not in p

@@ -1170,3 +1170,44 @@ def test_semantic_duplicates_chain_rule_and_nulls(spark):
     )
     assert {r["vec_id"] for r in surv.collect()} == {1, 4}
     assert surv.columns == ["vec_id", "embedding"]
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training order)
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_deterministic_and_contiguous(spark):
+    from typical_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)] + [(None, "lost id")],
+        "doc_id long, text string",
+    )
+    a = global_shuffle(df, "doc_id", n_shards=8).collect()
+    b = global_shuffle(df, "doc_id", n_shards=8).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(a) == key(b)  # run-to-run determinism
+    assert len(a) == 200  # NULL id excluded
+    # positions are contiguous 1..shard_size within every shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed is an independent epoch order
+    c = global_shuffle(df, "doc_id", n_shards=8, seed=7).collect()
+    assert key(c) != key(a)
+    # shard membership is hash-of-id only: growing the corpus never
+    # moves a row across shards (positions may shift — contiguous ranks)
+    grown = df.unionByName(
+        spark.createDataFrame([(1000 + i, "new") for i in range(50)],
+                              "doc_id long, text string")
+    )
+    g = {r["doc_id"]: r["shard"]
+         for r in global_shuffle(grown, "doc_id", n_shards=8).collect()}
+    for r in a:
+        assert g[r["doc_id"]] == r["shard"]
+    with pytest.raises(ValueError):
+        global_shuffle(df, "doc_id", n_shards=12)

@@ -151,3 +151,58 @@ def stratified_sample(
         .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .where(F.col("rank") <= F.ceil(frac_col * F.col("stratum_n")))
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order.
+
+    Training runs need the corpus in a REPRODUCIBLE pseudo-random order
+    (epoch shuffling, resumable data loaders, bitwise-comparable reruns).
+    `df.orderBy(rand())` is neither reproducible nor scalable (a global
+    sort, and rand() changes under retries). Here every row gets:
+
+      shard = id_hash & (n_shards - 1)        -- which output file
+      pos   = rank of id_hash within its shard -- order inside the file
+
+    computed with ONE window per shard partition — ranking is
+    partitionBy(shard), so the only exchange is a hash partition on
+    shard and each task sorts ~n/n_shards rows. There is never a
+    single-partition global sort: the global order is (shard, pos) by
+    construction, a training loader reads shards in index order (or any
+    fixed permutation per epoch).
+
+    The hash is the engine's md5-derived id hash (a function of the id
+    and seed alone), so the assignment is stable across runs, cluster
+    sizes, partition layouts, AND reproducible in any SQL engine for
+    audits. Ordering uses the 62-bit masked view (signed/unsigned
+    agreement — see exact_stratified_sample). Different seeds give
+    independent epoch orders. NULL ids are excluded (no stable
+    identity). Positions are contiguous 1..shard_size; note that
+    inserting new rows shifts later positions within a shard (inherent
+    to contiguous ranks — shard membership, however, never changes).
+
+    Mirrors the reference's deterministic-iteration contract
+    (typic/gen.py order-stable protocol emission) at corpus scale.
+
+    Output: input columns + (shard int, pos bigint).
+    """
+    if n_shards & (n_shards - 1) or n_shards <= 0:
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(id_col), seed=seed, n_buckets=1 << 62)
+    shard = h.bitwiseAND(F.lit(n_shards - 1)).cast("int")
+    out = df.where(F.col(id_col).isNotNull()).withColumn(
+        "shard", shard
+    ).withColumn("_h", h)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    ).drop("_h")
