@@ -1201,6 +1201,31 @@ def q_documents_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_documents_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): select the 50 raw
+    docs whose hashed unigram+bigram profile best matches a small target
+    slice (en docs with doc_id % 5 == 0), via Gumbel-top-k over
+    deterministic log-likelihood-ratio weights. The oracle replays the
+    ENTIRE pipeline — both bucket-count models, smoothing, per-doc
+    weight sums, and the hash-derived Gumbel noise — in SQL."""
+    from typical_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(
+        (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
+    )
+    out = dsir_select(
+        docs, target, "doc_id", "text", k=50, dim=4096,
+        reproducible=True,
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        F.round("log_w", 4).alias("log_w_r"),
+        F.round("sel_key", 4).alias("sel_key_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fused multi-check validation pass over events at sf0.001."""
     return q_events_violations(spark, "/root/testdata/sf0.001")
@@ -1212,10 +1237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     back-of-queue set ROTATES each round (round 5: the 5 TPC-style
     aggregation queries are back inside the window per the round-4
     verdict, and the round-5-new queries (span_para_clean, containment,
-    batch_topk, quality_model, semantic_dups, shuffle) are in-window;
-    10 long-stable text-analysis queries plus events_hourly_rollup,
-    events_rolling_counts and documents_chunks rotate out and return in
-    round 6) so every
+    batch_topk, quality_model, semantic_dups, shuffle, dsir) are
+    in-window; 10 long-stable text-analysis queries plus
+    events_hourly_rollup, events_rolling_counts, events_funnel and
+    documents_chunks rotate out and return in round 6) so every
     entry gets a driver-graded row at least every other round. Entries
     past the cut stay under an AUTOMATIC local gate:
     tests/test_transcripts_oracle.py::test_rotated_out_queries_still_green
@@ -1251,7 +1276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": q_events_value_outliers,
         "events_value_quantiles": q_events_value_quantiles,
         "embeddings_quantized": q_embeddings_quantized,
-        "events_funnel": q_events_funnel,
         "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
@@ -1267,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_quality_model": q_documents_quality_model,
         "embeddings_semantic_dups": q_embeddings_semantic_dups,
         "documents_shuffle": q_documents_shuffle,
+        "documents_dsir": q_documents_dsir,
         "lineitem_stats": q_lineitem_stats,
         "orders_grouped_stats": q_orders_grouped_stats,
         "pricing_summary": q_pricing_summary,
@@ -1277,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_rotated_out_queries_still_green + tools/check_oracles.py)
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_rolling_counts": q_events_rolling_counts,
+        "events_funnel": q_events_funnel,
         "documents_chunks": q_documents_chunks,
         "documents_token_stats": q_documents_token_stats,
         "documents_lang_id": q_documents_lang_id,
@@ -2718,6 +2744,62 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY hv & 7 ORDER BY hv, doc_id
                    ) AS BIGINT) AS pos
             FROM h
+        """,
+        # full DSIR replay: both hashed-ngram count models (add-0.5
+        # smoothing), per-doc log-likelihood-ratio sums, deterministic
+        # hash-Gumbel noise, top-50 by (key desc, id)
+        "documents_dsir": r"""
+            WITH tok AS (
+                SELECT doc_id, list_filter(string_split(trim(
+                    regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+                    x -> x <> '') AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            feats AS (
+                SELECT doc_id, list_concat(t,
+                    CASE WHEN len(t) >= 2 THEN list_transform(
+                        range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END) AS f
+                FROM tok
+            ),
+            rawb AS (
+                SELECT doc_id, md5_number_lower(ff) & 4095 AS bucket
+                FROM (SELECT doc_id, unnest(f) AS ff FROM feats)
+            ),
+            tb AS (
+                SELECT r.bucket
+                FROM rawb r JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en' AND d.doc_id % 5 = 0
+            ),
+            cnt_r AS (SELECT bucket, count(*) AS nr FROM rawb GROUP BY 1),
+            cnt_t AS (SELECT bucket, count(*) AS nt FROM tb GROUP BY 1),
+            lr AS (
+                SELECT coalesce(r.bucket, t.bucket) AS bucket,
+                       ln((coalesce(nt, 0) + 0.5)
+                          / ((SELECT coalesce(sum(nt), 0) FROM cnt_t)
+                             + 0.5 * 4096))
+                     - ln((coalesce(nr, 0) + 0.5)
+                          / ((SELECT coalesce(sum(nr), 0) FROM cnt_r)
+                             + 0.5 * 4096)) AS lr
+                FROM cnt_r r FULL JOIN cnt_t t ON r.bucket = t.bucket
+            ),
+            w AS (
+                SELECT doc_id, count(*) AS n_feats, sum(lr) AS log_w
+                FROM rawb JOIN lr USING (bucket) GROUP BY doc_id
+            ),
+            keyed AS (
+                SELECT doc_id, n_feats, log_w,
+                       log_w + (-ln(-ln(
+                           (CAST(md5_number_lower(
+                                CAST(doc_id AS VARCHAR) || ':42')
+                                & 4611686018427387903 AS DOUBLE) + 0.5)
+                           / 4611686018427387904.0))) AS sel_key
+                FROM w
+            )
+            SELECT doc_id, n_feats, round(log_w, 4) AS log_w_r,
+                   round(sel_key, 4) AS sel_key_r
+            FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 50
         """,
         "events_urls": """
             -- known-answer oracle for the URL parse-to-struct kernel:

@@ -1211,3 +1211,68 @@ def test_global_shuffle_deterministic_and_contiguous(spark):
         assert g[r["doc_id"]] == r["shard"]
     with pytest.raises(ValueError):
         global_shuffle(df, "doc_id", n_shards=12)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_domain(spark):
+    """Raw corpus = sports + code docs with disjoint vocabularies;
+    target = a small sports slice. Every sports doc must outweigh every
+    code doc, and Gumbel-top-k must select (almost) only sports docs."""
+    import random
+
+    from typical_spark.operators.dsir import dsir_log_weights, dsir_select
+
+    rng = random.Random(5)
+    sports = [f"goal{i}" for i in range(30)]
+    code = [f"lambda{i}" for i in range(30)]
+    rows = []
+    for doc_id in range(100):
+        pool = sports if doc_id % 2 == 0 else code
+        rows.append((doc_id, " ".join(rng.choice(pool) for _ in range(40))))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20))
+
+    w = {r["doc_id"]: r["log_w"]
+         for r in dsir_log_weights(raw, target, "doc_id", "text",
+                                   dim=1024).collect()}
+    assert len(w) == 100
+    worst_sports = min(v for d, v in w.items() if d % 2 == 0)
+    best_code = max(v for d, v in w.items() if d % 2 == 1)
+    assert worst_sports > best_code
+
+    sel = dsir_select(raw, target, "doc_id", "text", k=30, dim=1024)
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert len(ids) == 30
+    # importance gap is large -> Gumbel noise cannot flip domains often
+    assert sum(1 for d in ids if d % 2 == 0) >= 28
+
+    # deterministic: same inputs -> identical selection and keys
+    again = [r["doc_id"] for r in
+             dsir_select(raw, target, "doc_id", "text", k=30,
+                         dim=1024).collect()]
+    assert again == ids
+
+
+def test_dsir_short_and_null_docs(spark):
+    """Docs that normalize to no features are absent from the output;
+    single-token docs still score (unigram features only)."""
+    from typical_spark.operators.dsir import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha"), (3, "!!!"), (4, None)],
+        "doc_id long, text string",
+    )
+    target = raw.where(F.col("doc_id") == 1)
+    got = {r["doc_id"]: r for r in
+           dsir_log_weights(raw, target, "doc_id", "text",
+                            dim=256).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_feats"] == 5  # 3 unigrams + 2 bigrams
+    assert got[2]["n_feats"] == 1
+    import math
+
+    assert all(math.isfinite(r["log_w"]) for r in got.values())
