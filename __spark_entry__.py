@@ -1218,12 +1218,14 @@ def q_documents_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, target, "doc_id", "text", k=50, dim=4096,
         reproducible=True,
     )
-    return out.select(
+    res = out.select(
         "doc_id",
         "n_feats",
         F.round("log_w", 4).alias("log_w_r"),
         F.round("sel_key", 4).alias("sel_key_r"),
     )
+    res._owned_cache = getattr(out, "_owned_cache", [])
+    return res
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -46,20 +46,32 @@ from typical_spark.functions.text_analysis import normalize_text
 
 def _features(text_col: Column) -> Column:
     """Unigram + bigram multiset of the shared normalized tokenization
-    (duplicates kept — counts are the model)."""
+    (duplicates kept — counts are the model). The token array is
+    LET-BOUND (text_analysis._bind) before the bigram lambda touches it:
+    an expression referenced inside a HOF lambda re-evaluates per
+    element, so an unbound `element_at(split(normalize(text)), i)` would
+    re-run the 3 regex passes per bigram — O(tokens^2) per document
+    (the text_analysis.py PERFORMANCE NOTE, re-measured here: the
+    unbound form ran minutes-not-seconds at sf0.1)."""
+    from typical_spark.functions.text_analysis import _bind
+
     toks = F.filter(
         F.split(normalize_text(text_col), " "), lambda x: x != ""
     )
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+
+    def with_tokens(t: Column) -> Column:
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bigrams)
+
+    return _bind(toks, with_tokens)
 
 
 def _bucket(feature: Column, dim: int, reproducible: bool) -> Column:
@@ -71,9 +83,11 @@ def _bucket(feature: Column, dim: int, reproducible: bool) -> Column:
 def _bucket_counts(
     df: DataFrame, text_col: str, dim: int, reproducible: bool, name: str
 ) -> DataFrame:
+    from typical_spark.operators.dedup import _ensure_parallelism
+
     feats = _features(F.col(text_col))
     return (
-        df.where(F.col(text_col).isNotNull())
+        _ensure_parallelism(df.where(F.col(text_col).isNotNull()))
         .select(F.explode(feats).alias("_f"))
         .select(_bucket(F.col("_f"), dim, reproducible).alias("bucket"))
         .groupBy("bucket")
@@ -99,8 +113,11 @@ def dsir_log_weights(
     features are absent (no evidence). Bucket-count totals ride the
     plan as scalar subqueries folded driver-side (two tiny aggregates).
     """
-    cnt_t = _bucket_counts(target, text_col, dim, reproducible, "nt")
-    cnt_r = _bucket_counts(raw, text_col, dim, reproducible, "nr")
+    # the count tables are <= dim rows; persist so each corpus is
+    # feature-hashed ONCE (the totals job materializes the cache, the
+    # lr join reuses it) — released via release_cache(result)
+    cnt_t = _bucket_counts(target, text_col, dim, reproducible, "nt").persist()
+    cnt_r = _bucket_counts(raw, text_col, dim, reproducible, "nr").persist()
     # totals are single-row aggregates; collected once, folded as
     # literals (bounded driver work by construction)
     tot_t = cnt_t.agg(F.sum("nt")).first()[0] or 0
@@ -122,24 +139,34 @@ def dsir_log_weights(
             ).alias("lr"),
         )
     )
+    from typical_spark.operators.dedup import _ensure_parallelism
+
     feats = _features(F.col(text_col))
+    # n_feats is NOT projected as size(feats) here: a non-generator
+    # column that references the generator's input expression is
+    # re-evaluated per EXPLODED row (the Generate keeps only the
+    # generator output; column pruning hides this until an aggregation
+    # needs the column) — measured 35s vs 0.7s at sf0.1. Counting the
+    # exploded rows in the same aggregate gives the identical value for
+    # one map-side-combined pass.
     exploded = (
-        raw.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.size(feats).alias("n_feats"),
-            F.explode(feats).alias("_f"),
-        )
+        _ensure_parallelism(raw.where(F.col(text_col).isNotNull()))
+        .select(F.col(id_col), F.explode(feats).alias("_f"))
         .withColumn("bucket", _bucket(F.col("_f"), dim, reproducible))
     )
     # every raw bucket is present in cnt_r, hence in the full-outer lr
     # table — the inner broadcast join loses no rows by construction
-    return (
+    out = (
         exploded.join(F.broadcast(lr), "bucket")
-        .groupBy(id_col, "n_feats")
-        .agg(F.sum("lr").alias("log_w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").alias("log_w"),
+        )
         .select(id_col, F.col("n_feats").cast("bigint"), "log_w")
     )
+    out._owned_cache = [cnt_t, cnt_r]  # dedup.release_cache(out) after use
+    return out
 
 
 def gumbel_key(id_col: Column, seed: int = 42) -> Column:
@@ -181,6 +208,8 @@ def dsir_select(
     keyed = w.withColumn(
         "sel_key", F.col("log_w") + gumbel_key(F.col(id_col), seed=seed)
     )
-    return keyed.orderBy(
+    out = keyed.orderBy(
         F.col("sel_key").desc(), F.col(id_col).asc()
     ).limit(int(k))
+    out._owned_cache = list(getattr(w, "_owned_cache", []))
+    return out
