@@ -95,3 +95,52 @@ def test_ks_two_sample_exact(spark):
         "g string, v double",
     )
     assert ks_two_sample(same, "v", "g", "a", "b").collect()[0]["ks_stat"] == 0.0
+
+
+def test_ks_by_group_exact_vs_numpy(spark):
+    """Per-group KS vs GLOBAL, including the sup-at-missing-value case:
+    group b never emits the values where its CDF gap peaks, so the
+    statistic is only right if the per-group CDF is evaluated on the
+    full distinct-value grid (not just the group's own values)."""
+    from typical_spark.operators.drift import ks_by_group
+
+    rows = (
+        [("a", float(v)) for v in (1, 2, 3, 4)]
+        + [("b", 10.0)] * 4
+        + [("c", float(v)) for v in (1, 2, 3, 4, 10, 10)]
+        + [("c", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["group_id"]: r for r in ks_by_group(df, "v", "g", 0.3).collect()}
+
+    vals = {"a": [1, 2, 3, 4], "b": [10, 10, 10, 10],
+            "c": [1, 2, 3, 4, 10, 10]}
+    all_v = np.sort(np.concatenate([np.asarray(v, float) for v in vals.values()]))
+    xs = np.unique(all_v)
+    f_all = np.searchsorted(all_v, xs, side="right") / len(all_v)
+    for g, v in vals.items():
+        sv = np.sort(np.asarray(v, float))
+        f_g = np.searchsorted(sv, xs, side="right") / len(sv)
+        expect = float(np.max(np.abs(f_g - f_all)))
+        assert got[g]["n_group"] == len(v)
+        assert abs(got[g]["ks_stat"] - round(expect, 6)) < 1e-9, g
+        assert got[g]["drifted"] == (round(expect, 6) > 0.3)
+    # group b's sup sits at values {1..4} it never emits: sanity-pin it
+    assert abs(got["b"]["ks_stat"] - (8 / 14)) < 1e-6
+
+
+def test_ks_by_group_identical_groups_not_drifted(spark):
+    from typical_spark.operators.dedup import release_cache
+    from typical_spark.operators.drift import ks_by_group
+
+    df = spark.createDataFrame(
+        [(g, float(x % 7)) for g in ("a", "b") for x in range(70)],
+        "g string, v double",
+    )
+    out = ks_by_group(df, "v", "g", 0.05)
+    rows = out.collect()
+    assert all(r["ks_stat"] == 0.0 and not r["drifted"] for r in rows)
+    release_cache(out)
+    assert not out._owned_cache or all(
+        not c.is_cached for c in out._owned_cache
+    )

@@ -1276,3 +1276,51 @@ def test_dsir_short_and_null_docs(spark):
     import math
 
     assert all(math.isfinite(r["log_w"]) for r in got.values())
+
+
+def test_bloom_contamination_matches_broadcast_path(spark, docs_df):
+    """The Bloom prefilter is pure pruning: output must be row-identical
+    to ngram_contamination on the same inputs — including under heavy
+    false-positive pressure (tiny filter), where ONLY the exact verify
+    join keeps the contract."""
+    from typical_spark.operators.dedup import (
+        bloom_contamination,
+        ngram_contamination,
+        release_cache,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "spark is a distributed engine for large scale data processing"),
+         (200, "completely unrelated benchmark sentence about nothing shared")],
+        "bench_id long, bench_text string",
+    )
+    args = (docs_df, bench, "doc_id", "text", "bench_id", "bench_text")
+    want = sorted(
+        tuple(r) for r in ngram_contamination(*args, k=3, min_overlap=5).collect()
+    )
+    for m_bits in (1 << 20, 64):  # 64 bits ~ saturated filter: max FP rate
+        out = bloom_contamination(*args, k=3, min_overlap=5, m_bits=m_bits)
+        got = sorted(tuple(r) for r in out.collect())
+        assert got == want, f"m_bits={m_bits}"
+        release_cache(out)
+    assert want  # non-vacuous: the corpus is contaminated
+
+
+def test_bloom_contamination_plan_keeps_corpus_unshuffled(spark, docs_df):
+    """The probe side must reach the exact-verify join through BROADCAST
+    left-semi joins only — no corpus-side Exchange before pruning."""
+    from typical_spark.operators.dedup import bloom_contamination
+
+    bench = docs_df.select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    ).limit(2)
+    out = bloom_contamination(
+        docs_df, bench, "doc_id", "text", "bench_id", "bench_text",
+        n_probes=3,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    semis = plan.count("LeftSemi")
+    assert semis >= 3, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan

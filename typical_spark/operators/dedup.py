@@ -579,6 +579,83 @@ def ngram_contamination(
     )
 
 
+def bloom_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    k: int = 3,
+    min_overlap: int = 1,
+    m_bits: int = 1 << 20,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Decontamination scale path for when the benchmark is too big to
+    broadcast (ngram_contamination requires its exploded shingle table
+    to fit executor memory; a multi-benchmark suite at 100 TB corpus
+    scale may not). A Bloom filter built FROM the benchmark prunes the
+    corpus's shingles BEFORE any shuffle, so only probable hits move.
+    The output is EXACT and schema-identical to ngram_contamination:
+    Bloom membership has no false negatives by construction, and an
+    exact inner join re-verifies every survivor — false positives cost
+    a little candidate shuffle, never correctness (so the same SQL
+    oracle grades both operators).
+
+    Build side: every distinct benchmark shingle sets n_probes
+    positions of an m_bits-slot filter; the SET of set positions is a
+    table of <= m_bits longs (8 MiB at the default 2^20 — constant in
+    benchmark size once saturated) built with one map-side-combined
+    distinct and persisted once. Probe side: each corpus shingle
+    computes the same n_probes positions and must find ALL of them,
+    expressed as n_probes successive BROADCAST LEFT-SEMI joins — the
+    corpus never shuffles and rows missing any bit drop at the first
+    miss. Survivors (~(1-e^{-kn/m})^k false-positive rate, <1% at the
+    defaults for ~180k benchmark shingles) then join the benchmark
+    shingles exactly; only candidates reach that shuffle.
+
+    Reference semantics: same containment contract as
+    ngram_contamination (typic/constraints/array.py values-containment
+    applied to shingle sets); the Bloom stage is pure pruning.
+    """
+    dsh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_g"),
+    )
+    bsh = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(bench_text_col), k)).alias("_g"),
+    ).persist()  # scanned twice: filter build + exact verify
+
+    def positions(g) -> Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(g, F.lit(i)), F.lit(int(m_bits)))
+                for i in range(n_probes)
+            ]
+        )
+
+    bits = (
+        bsh.select(F.explode(positions(F.col("_g"))).alias("_pos"))
+        .distinct()
+        .persist()
+    )
+    probe = dsh
+    for i in range(n_probes):
+        probe = probe.withColumn(
+            "_pos", F.pmod(F.xxhash64(F.col("_g"), F.lit(i)), F.lit(int(m_bits)))
+        ).join(F.broadcast(bits), "_pos", "left_semi")
+    out = (
+        probe.drop("_pos")
+        .join(bsh, "_g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    out._owned_cache = [bits, bsh]  # caller releases via release_cache(out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # n-gram jaccard (exact verify kernel)
 # ---------------------------------------------------------------------------

@@ -245,6 +245,74 @@ def ks_two_sample(
     )
 
 
+def ks_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Per-group EXACT KS drift vs the GLOBAL distribution — the
+    partition-verdict form of `ks_two_sample`: one row per group
+    (group_id, n_group, ks_stat, drifted), the exact cross-engine-
+    verifiable twin of the t-digest `drift_report` (which answers the
+    same question with sketches when distinct-value cardinality is
+    unbounded). Mirrors the reference's per-partition pass/fail
+    verdict contract (typic/constraints/common.py:147-174 validate ->
+    verdict) lifted to distribution level.
+
+    Scale shape: ONE map-side-combined groupBy(group, value) shuffle
+    touches the source; everything downstream runs on the distinct-
+    cell table (persisted once, released by the caller via
+    dedup.release_cache). The per-group CDF must be evaluated at every
+    GLOBAL distinct value — the supremum can sit at a value the group
+    never emits — so the distinct-value table grid-joins the per-group
+    totals (|V| x |G| rows; ks_two_sample's bounded-|V| assumption
+    applies, |G| is the verdict count). The global cumulative window
+    is a single ordered pass over |V| rows; the per-group one
+    partitions by group, so both stay tiny relative to the source.
+    `drifted` is derived from the ROUNDED statistic so both engines
+    compare the same 6-decimal value.
+    """
+    from pyspark.sql import Window
+
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("group_id"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    cnt = vals.groupBy("group_id", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    cnt = cnt.persist()  # reused 4x (grid, totals, grand, probe join)
+    dv = cnt.groupBy("_v").agg(F.sum("_c").alias("_gc"))
+    w_all = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    dv = dv.select("_v", F.sum("_gc").over(w_all).alias("_cum_all"))
+    totals = cnt.groupBy("group_id").agg(F.sum("_c").alias("n_group"))
+    grand = cnt.groupBy().agg(F.sum("_c").alias("_n_all"))
+    grid = dv.crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(grand))
+    j = grid.join(cnt, ["group_id", "_v"], "left")
+    w_g = (
+        Window.partitionBy("group_id")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.abs(
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(w_g)
+        / F.col("n_group")
+        - F.col("_cum_all") / F.col("_n_all")
+    )
+    out = (
+        j.select("group_id", "n_group", gap.alias("_gap"))
+        .groupBy("group_id", "n_group")
+        .agg(F.round(F.max("_gap"), 6).alias("ks_stat"))
+        .select(
+            "group_id",
+            "n_group",
+            "ks_stat",
+            (F.col("ks_stat") > F.lit(float(threshold))).alias("drifted"),
+        )
+    )
+    out._owned_cache = [cnt]  # caller releases via dedup.release_cache
+    return out
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str,
