@@ -775,6 +775,25 @@ def q_documents_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(docs, "doc_id", "text", k=0.5)
 
 
+def q_documents_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality buckets per language
+    (sampling.rank_buckets over the bigram-LM score): bucket 1 = head =
+    highest avg_logprob in its language. The ordering key is the
+    already double-rounded avg_logprob (engine-identical to 4dp —
+    documents_lm_score is hash-green on it) with doc_id tie-break, so
+    the exact ntile cut is cross-engine-stable."""
+    from typical_spark.functions.text_analysis import bigram_logprob_score
+    from typical_spark.operators.sampling import rank_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_logprob_score(docs, "doc_id", "text", k=0.5)
+    withlang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return rank_buckets(
+        withlang, "doc_id", "avg_logprob", group_col="lang",
+        n_buckets=3, labels=("head", "middle", "tail"), ascending=False,
+    ).select("doc_id", "lang", "avg_logprob", "bucket", "bucket_label")
+
+
 def q_documents_cross_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (cross-corpus) near-dup detection
     (dedup.minhash_cross_duplicates): a synthetic 'daily crawl' —
@@ -1274,10 +1293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     aggregation queries are back inside the window per the round-4
     verdict, and the round-5-new queries (span_para_clean, containment,
     batch_topk, quality_model, semantic_dups, shuffle, dsir,
-    ks_by_type, contamination_bloom) are in-window; 10 long-stable
-    text-analysis queries plus events_hourly_rollup,
+    ks_by_type, contamination_bloom, lm_buckets) are in-window; 10
+    long-stable text-analysis queries plus events_hourly_rollup,
     events_rolling_counts, events_funnel, documents_chunks,
-    events_value_outliers and events_value_quantiles rotate out and
+    events_click_windows, events_value_outliers and
+    events_value_quantiles rotate out and
     return in round 6) so every
     entry gets a driver-graded row at least every other round. Entries
     past the cut stay under an AUTOMATIC local gate:
@@ -1313,8 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_cross_dups": q_documents_cross_dups,
         "events_ks_by_type": q_events_ks_by_type,
         "documents_contamination_bloom": q_documents_contamination_bloom,
+        "documents_lm_buckets": q_documents_lm_buckets,
         "embeddings_quantized": q_embeddings_quantized,
-        "events_click_windows": q_events_click_windows,
         "documents_packing": q_documents_packing,
         "events_value_psi": q_events_value_psi,
         "events_runs": q_events_runs,
@@ -1338,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver's 50-entry grading window this round
         # (rotated out; driver-green in rounds 2-4, still gated by
         # test_rotated_out_queries_still_green + tools/check_oracles.py)
+        "events_click_windows": q_events_click_windows,
         "events_value_outliers": q_events_value_outliers,
         "events_value_quantiles": q_events_value_quantiles,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -2161,6 +2182,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, avg_logprob,
                    round(round(exp(-avg_logprob), 6), 4) AS ppl
             FROM sc
+        """,
+        "documents_lm_buckets": """
+            -- CCNet head/middle/tail per language: exact ntile over the
+            -- double-rounded (engine-identical) LM score, doc_id
+            -- tie-break; same LM replay as documents_lm_score
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM d WHERE len(toks) >= 2
+            ),
+            bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+            cb AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                FROM bg GROUP BY w1, w2
+            ),
+            cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY w1),
+            v AS (
+                SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+                FROM (SELECT unnest(toks) AS w FROM d)
+            ),
+            sc AS (
+                SELECT bg.doc_id,
+                       round(round(avg(ln(
+                           (cb.cb + 0.5) / (cu.cw + 0.5 * vocab))), 6), 4)
+                           AS avg_logprob
+                FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+                GROUP BY bg.doc_id
+            ),
+            scl AS (
+                SELECT sc.doc_id, doc.lang, sc.avg_logprob
+                FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id
+                WHERE doc.lang IS NOT NULL
+            ),
+            b AS (
+                SELECT doc_id, lang, avg_logprob,
+                       CAST(ntile(3) OVER (
+                           PARTITION BY lang
+                           ORDER BY avg_logprob DESC, doc_id
+                       ) AS INT) AS bucket
+                FROM scl
+            )
+            SELECT doc_id, lang, avg_logprob, bucket,
+                   CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket_label
+            FROM b
         """,
         "documents_cross_dups": """
             -- exact all-pairs Jaccard between the synthetic crawl and

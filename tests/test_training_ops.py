@@ -1324,3 +1324,82 @@ def test_bloom_contamination_plan_keeps_corpus_unshuffled(spark, docs_df):
     semis = plan.count("LeftSemi")
     assert semis >= 3, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_rank_buckets_exact_ntile(spark):
+    """Equal-depth cut with ntile semantics: 8 rows / 3 buckets ->
+    depths (3,3,2) in rank order; ascending=False puts the HIGHEST
+    value in bucket 1 (head); ties break by id; NULL groups excluded."""
+    from typical_spark.operators.sampling import rank_buckets
+
+    rows = [(i, "en", float(i)) for i in range(1, 9)] + [(99, None, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = rank_buckets(
+        df, "doc_id", "score", group_col="lang", n_buckets=3,
+        labels=("head", "middle", "tail"), ascending=False,
+    ).collect()
+    got = {r["doc_id"]: (r["bucket"], r["bucket_label"]) for r in out}
+    assert 99 not in got  # NULL group excluded
+    # descending: ids 8,7,6 have the top scores -> head
+    assert [got[i][0] for i in (8, 7, 6, 5, 4, 3, 2, 1)] == [1, 1, 1, 2, 2, 2, 3, 3]
+    assert got[8][1] == "head" and got[4][1] == "middle" and got[1][1] == "tail"
+
+    # ascending flips the orientation
+    asc = {
+        r["doc_id"]: r["bucket"]
+        for r in rank_buckets(
+            df, "doc_id", "score", group_col="lang", n_buckets=3
+        ).collect()
+    }
+    assert [asc[i] for i in (1, 2, 3, 4, 5, 6, 7, 8)] == [1, 1, 1, 2, 2, 2, 3, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rank_buckets(df, "doc_id", "score", n_buckets=2, labels=("a", "b", "c"))
+
+
+def test_quantile_buckets_monotone_and_no_sort(spark):
+    """The approx-depth twin: assignment monotone in the value, depths
+    near-equal on a smooth distribution, NULL value -> NULL bucket, and
+    the plan carries NO sort/window (that is its whole point)."""
+    from typical_spark.operators.sampling import quantile_buckets, rank_buckets
+
+    rows = [(i, "en" if i % 2 else "de", float((i * 37) % 1009)) for i in range(1, 601)]
+    rows.append((601, "en", None))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = quantile_buckets(
+        df, "score", group_col="lang", n_buckets=4, relative_error=0.0001
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan and "Sort" not in plan, plan
+    got = out.collect()
+    assert next(r["bucket"] for r in got if r["doc_id"] == 601) is None
+    by_lang = {}
+    for r in got:
+        if r["bucket"] is not None:
+            by_lang.setdefault(r["lang"], []).append((r["score"], r["bucket"]))
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        buckets = [b for _, b in pairs]
+        assert buckets == sorted(buckets), f"non-monotone in {lang}"
+        from collections import Counter
+
+        depths = Counter(buckets)
+        n = len(pairs)
+        for b in (1, 2, 3, 4):
+            assert abs(depths[b] - n / 4) <= max(2, 0.05 * n), (lang, depths)
+
+    # tight-sketch agreement with the exact cut on distinct values
+    exact = {
+        (r["doc_id"]): r["bucket"]
+        for r in rank_buckets(
+            df.where(F.col("score").isNotNull()), "doc_id", "score",
+            group_col="lang", n_buckets=4,
+        ).collect()
+    }
+    approx = {r["doc_id"]: r["bucket"] for r in got if r["bucket"] is not None}
+    agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
+    assert agree >= 0.98, agree

@@ -206,3 +206,117 @@ def global_shuffle(
     return out.withColumn(
         "pos", F.row_number().over(w).cast("bigint")
     ).drop("_h")
+
+
+def rank_buckets(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """CCNet-style per-group quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3 head/middle/tail): within each group (per
+    language, per source ...) rank rows by (value, id) and cut the
+    ranking into n_buckets equal-depth buckets — ntile semantics, so
+    depths differ by at most one row and the assignment is an EXACT,
+    engine-checkable function of the input (id tie-break, no RNG).
+    Training pipelines keep 'head', downsample 'middle', drop 'tail'
+    (compose with stratified_sample on bucket_label). With
+    ascending=False bucket 1 holds the HIGHEST values (the usual
+    quality-score orientation).
+
+    Exact equal-depth is inherently an ordered rank, so each group
+    sorts in one task — the bounded-groups exact twin (same discipline
+    as stratified_sample / ks_two_sample); when one group is too large
+    for a single sort, use quantile_buckets below (approx-depth,
+    cutpoint comparisons, no sort). Rows with a NULL group are excluded
+    (no bucket identity); NULL values sort last in their group either
+    way (Spark default NULLS LAST on both asc and desc).
+
+    Output: input columns + (bucket int 1..n[, bucket_label]).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels length {len(labels)} != n_buckets {n_buckets}"
+        )
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    order = [v.asc_nulls_last() if ascending else v.desc_nulls_last(),
+             F.col(id_col).asc()]
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(*order)
+    out = df
+    if group_col:
+        out = out.where(F.col(group_col).isNotNull())
+    out = out.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if labels is not None:
+        out = out.withColumn(
+            "bucket_label",
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col("bucket")
+            ),
+        )
+    return out
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = None,
+    ascending: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Approximate-depth twin of rank_buckets for groups too large to
+    rank in one task: per-group approx_percentile cutpoints (a tiny
+    aggregate, broadcast back) and a codegen'd cutpoint-comparison fold
+    assigns the bucket — no sort, no window, one map-side-combined
+    aggregate plus a broadcast join. Depths are approximate within the
+    sketch's relative_error; bucket assignment is still MONOTONE in the
+    value by construction. Use rank_buckets when exact equal depth or
+    cross-engine equality matters.
+
+    Output: input columns + (bucket int 1..n[, bucket_label]); NULL
+    values get a NULL bucket.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels length {len(labels)} != n_buckets {n_buckets}"
+        )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    if not ascending:
+        probs = [1.0 - p for p in probs]
+    acc = int(1.0 / relative_error)
+    cuts = F.percentile_approx(value_col, probs, acc).alias("_cuts")
+    if group_col:
+        cut_tbl = df.groupBy(group_col).agg(cuts)
+        j = df.join(F.broadcast(cut_tbl), group_col)
+    else:
+        j = df.crossJoin(F.broadcast(df.groupBy().agg(cuts)))
+    v = F.col(value_col)
+    crossed = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda a, c: a + F.when(v > c if ascending else v < c, 1).otherwise(0),
+    )
+    out = j.withColumn(
+        "bucket",
+        F.when(v.isNotNull(), crossed + F.lit(1)).cast("int"),
+    ).drop("_cuts")
+    if labels is not None:
+        out = out.withColumn(
+            "bucket_label",
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col("bucket")
+            ),
+        )
+    return out
