@@ -144,3 +144,37 @@ def test_ks_by_group_identical_groups_not_drifted(spark):
     assert not out._owned_cache or all(
         not c.is_cached for c in out._owned_cache
     )
+
+
+def test_psi_by_group_exact_vs_numpy(spark):
+    """Per-group PSI vs global with a group that never hits some bins
+    (the grid fill + epsilon path) — checked against a direct numpy
+    replay of the same binning."""
+    from typical_spark.operators.drift import psi_by_group
+
+    rows = (
+        [("a", float(v)) for v in range(10)]          # uniform 0..9
+        + [("b", 0.0)] * 5 + [("b", 9.0)] * 5          # edges only
+        + [("b", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["group_id"]: r for r in
+           psi_by_group(df, "v", "g", n_bins=5, threshold=1.0).collect()}
+
+    vals = {"a": list(range(10)), "b": [0] * 5 + [9] * 5}
+    all_v = np.asarray(vals["a"] + vals["b"], float)
+    lo, hi = all_v.min(), all_v.max()
+    width = (hi - lo) / 5
+
+    def hist(v):
+        b = np.clip(np.floor((np.asarray(v, float) - lo) / width), 0, 4)
+        return np.bincount(b.astype(int), minlength=5)
+
+    g_all = hist(all_v) / len(all_v) + 1e-6
+    for g, v in vals.items():
+        p = hist(v) / len(v) + 1e-6
+        expect = round(float(np.sum((p - g_all) * np.log(p / g_all))), 6)
+        assert got[g]["n_group"] == len(v)
+        assert abs(got[g]["psi"] - expect) < 1e-9, g
+        assert got[g]["drifted"] == (expect > 1.0)
+    assert got["a"]["drifted"] is False and got["b"]["drifted"] is True

@@ -313,6 +313,69 @@ def ks_by_group(
     return out
 
 
+def psi_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Per-group PSI verdicts vs the GLOBAL distribution — the binned
+    complement of ks_by_group (PSI weighs the whole density shift, KS
+    the worst single point), emitting one (group_id, n_group, psi,
+    drifted) row per group. Bins are equal-width over the global EXACT
+    [min, max] (same cross-engine rationale as psi_drift: exact
+    extremes bin identically on both engines, quantile edges don't).
+
+    Scale shape: one pass computes the global extent (tiny, broadcast),
+    one map-side-combined groupBy((group, bin)) pass counts — at most
+    |G| x n_bins cells ever shuffle; the global per-bin histogram folds
+    from those cells, and the PSI sum runs on the (bins x groups) grid
+    (groups may lack bins, so the grid left-join fills zeros — the
+    epsilon smoothing then keeps the log finite exactly as in
+    psi_drift). `drifted` compares the ROUNDED statistic (>0.25 is the
+    standard "drifted" monitoring threshold).
+    """
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("group_id"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    ext = vals.groupBy().agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+    b = F.lit(int(n_bins))
+    width = (F.col("hi") - F.col("lo")) / b
+    raw = F.when(
+        width > 0, F.floor((F.col("_v") - F.col("lo")) / width)
+    ).otherwise(F.lit(0))
+    bin_ = F.greatest(F.lit(0), F.least(b - 1, raw)).alias("bin")
+    cells = (
+        vals.crossJoin(F.broadcast(ext))
+        .groupBy("group_id", bin_)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()  # |G| x n_bins rows, reused 4x
+    )
+    gbin = cells.groupBy("bin").agg(F.sum("_c").alias("_gc"))
+    totals = cells.groupBy("group_id").agg(F.sum("_c").alias("n_group"))
+    grand = cells.groupBy().agg(F.sum("_c").alias("_n_all"))
+    grid = gbin.crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(grand))
+    j = grid.join(cells, ["group_id", "bin"], "left")
+    eps = F.lit(float(epsilon))
+    p_ref = F.col("_gc") / F.col("_n_all") + eps
+    p_g = F.coalesce(F.col("_c"), F.lit(0)) / F.col("n_group") + eps
+    out = (
+        j.groupBy("group_id", "n_group")
+        .agg(F.round(F.sum((p_g - p_ref) * F.log(p_g / p_ref)), 6).alias("psi"))
+        .select(
+            "group_id",
+            "n_group",
+            "psi",
+            (F.col("psi") > F.lit(float(threshold))).alias("drifted"),
+        )
+    )
+    out._owned_cache = [cells]  # caller releases via dedup.release_cache
+    return out
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str,
