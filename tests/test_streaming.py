@@ -374,3 +374,122 @@ def test_incremental_minhash_redelivery_exactly_once_state(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(src2))
     run("ck2", src2)
     assert snapshot() == once
+
+
+def test_drift_stream_monitor(spark, tmp_path):
+    """Streaming drift monitor (streaming/drift_monitor.py): per-batch
+    t-digest state persisted and merged across micro-batches; verdicts
+    compare each group's RUNNING digest to the reference — an
+    in-distribution batch stays green, a shift flips the flag, a novel
+    group is drift by definition (NULL ks)."""
+    import time as _time
+
+    import numpy as np
+
+    from typical_spark.streaming.drift_monitor import (
+        drift_stream_monitor,
+        reference_digests,
+    )
+
+    rng = np.random.default_rng(7)
+    schema = "g string, v double"
+    ref = spark.createDataFrame(
+        [("a", float(v)) for v in rng.normal(0, 1, 4000)]
+        + [("b", float(v)) for v in rng.normal(5, 1, 4000)],
+        schema,
+    )
+    ref_path = str(tmp_path / "ref")
+    reference_digests(ref, "v", "g", ref_path)
+
+    src = tmp_path / "src"
+    b1 = (
+        [("a", float(v)) for v in rng.normal(0, 1, 2000)]
+        + [("b", float(v)) for v in rng.normal(5, 1, 2000)]
+    )
+    b2 = (
+        [("a", float(v)) for v in rng.normal(3, 1, 4000)]  # a shifts
+        + [("c", float(v)) for v in rng.normal(0, 1, 500)]  # novel group
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+    _time.sleep(1.1)  # file source orders micro-batches by mod time
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    q = drift_stream_monitor(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src)),
+        reference_path=ref_path,
+        state_dir=str(tmp_path / "state"),
+        verdicts_dir=str(tmp_path / "verdicts"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        value_col="v",
+        group_col="g",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    v = {
+        (r["batch_id"], r["group_id"]): r
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    assert v[(0, "a")]["drifted"] is False  # in-distribution
+    assert v[(0, "b")]["drifted"] is False
+    # running a = 1/3 ref + 2/3 shifted-by-3: far past the threshold
+    assert v[(1, "a")]["drifted"] is True and v[(1, "a")]["ks_stat"] > 0.3
+    # b saw no batch-2 rows; its running digest is still batch-1's
+    assert v[(1, "b")]["drifted"] is False
+    assert v[(1, "c")]["drifted"] is True and v[(1, "c")]["ks_stat"] is None
+
+
+def test_drift_stream_monitor_redelivery_exactly_once(spark, tmp_path):
+    """State is keyed by (batch_id, group_id): a redelivered micro-batch
+    REPLACES its own digest rows, so re-running the same source against
+    the same state leaves state and verdicts row-identical (the same
+    merge_keyed discipline as the minhash index)."""
+    import numpy as np
+
+    from typical_spark.streaming.drift_monitor import (
+        drift_stream_monitor,
+        reference_digests,
+    )
+
+    rng = np.random.default_rng(11)
+    schema = "g string, v double"
+    ref = spark.createDataFrame(
+        [("a", float(v)) for v in rng.normal(0, 1, 1000)], schema
+    )
+    ref_path = str(tmp_path / "ref")
+    reference_digests(ref, "v", "g", ref_path)
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [("a", float(v)) for v in rng.normal(0, 1, 1000)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run(ck):
+        q = drift_stream_monitor(
+            spark.readStream.schema(schema).parquet(str(src)),
+            reference_path=ref_path,
+            state_dir=str(tmp_path / "state"),
+            verdicts_dir=str(tmp_path / "verdicts"),
+            checkpoint_dir=str(tmp_path / ck),
+            value_col="v",
+            group_col="g",
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    first_state = sorted(
+        map(str, spark.read.parquet(str(tmp_path / "state")).collect())
+    )
+    first_verdicts = sorted(
+        map(str, spark.read.parquet(str(tmp_path / "verdicts")).collect())
+    )
+    run("ck2")  # simulated redelivery: fresh checkpoint, same source
+    assert sorted(
+        map(str, spark.read.parquet(str(tmp_path / "state")).collect())
+    ) == first_state
+    assert sorted(
+        map(str, spark.read.parquet(str(tmp_path / "verdicts")).collect())
+    ) == first_verdicts
