@@ -58,3 +58,49 @@ def test_rerun_is_noop(spark, bucketed_df):
         assert again["buckets_processed"] == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_revalidation_only_changed_buckets(spark, bucketed_df):
+    """Nightly-rerun mode: after a full run, an incremental run over an
+    UNCHANGED table carries every bucket (zero validated); mutating one
+    bucket's rows re-validates exactly that bucket, and the violations
+    sink reflects the mutation while untouched buckets keep their
+    output. The fingerprint is order-independent (repartition does not
+    dirty buckets)."""
+    plan = compile_table_spec(transcript_spec())
+    tmp = tempfile.mkdtemp(prefix="ckpt_inc_")
+    try:
+        df = bucketed_df.localCheckpoint()  # freeze content for mutation
+        run = CheckpointedRun(spark, plan, tmp, run_id="full")
+        run.run(df)
+        base_vio = run.violations().count()
+
+        # unchanged table (even reshuffled) -> all carried
+        inc = CheckpointedRun(spark, plan, tmp, run_id="inc1")
+        s1 = inc.run_incremental(df.repartition(16))
+        assert s1["buckets_validated"] == 0
+        assert s1["buckets_carried"] == s1["buckets_total"]
+        assert run.violations().count() == base_vio
+
+        # mutate ONE bucket: blank a required field in some of its rows
+        target = df.select("bucket").head()["bucket"]
+        mutated = df.withColumn(
+            "role",
+            F.when(
+                (F.col("bucket") == target)
+                & (F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(5)) == 0),
+                F.lit(None).cast("string"),
+            ).otherwise(F.col("role")),
+        )
+        inc2 = CheckpointedRun(spark, plan, tmp, run_id="inc2")
+        s2 = inc2.run_incremental(mutated)
+        assert s2["buckets_validated"] == 1
+        assert s2["buckets_carried"] == s2["buckets_total"] - 1
+        # the new null-role violations landed in the rewritten bucket
+        assert inc2.violations().count() > base_vio
+        m = {r["bucket"]: r["mode"] for r in
+             inc2.manifest().where(F.col("run_id") == "inc2").collect()}
+        assert m[target] == "validated"
+        assert all(v == "carried" for b, v in m.items() if b != target)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

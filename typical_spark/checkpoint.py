@@ -34,7 +34,8 @@ from typical_spark.plans.validation import ValidationPlan
 
 MANIFEST_SCHEMA = (
     "run_id string, bucket int, status string, n_rows long, "
-    "n_violations long, wall_s double, finished_at double"
+    "n_violations long, wall_s double, finished_at double, "
+    "fingerprint long, mode string"
 )
 
 
@@ -67,13 +68,109 @@ class CheckpointedRun:
         )
         return {r["bucket"] for r in rows}
 
-    def _append_manifest(self, bucket: int, n_rows: int, n_vio: int, wall: float):
-        row = [(self.run_id, bucket, "done", n_rows, n_vio, wall, time.time())]
+    def _append_manifest(
+        self,
+        bucket: int,
+        n_rows: int,
+        n_vio: int,
+        wall: float,
+        fingerprint: int | None = None,
+        mode: str = "validated",
+    ):
+        row = [(self.run_id, bucket, "done", n_rows, n_vio, wall,
+                time.time(), fingerprint, mode)]
         self.spark.createDataFrame(row, MANIFEST_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.manifest_path)
 
+    # -- incremental re-validation --------------------------------------
+
+    def bucket_fingerprints(self, df: DataFrame) -> dict[int, int]:
+        """Order-independent content fingerprint per bucket: sum of a
+        per-row xxhash64 over every column, folded into 31 bits per row
+        so the per-bucket sum stays exact (no long overflow) up to 2^32
+        rows per bucket — ONE map-side-combined pass over the table,
+        the cost of a count. Any row change/insert/delete moves the sum
+        (duplicate rows each contribute — XOR would let pairs cancel)."""
+        h = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1 << 31))
+        rows = df.groupBy(self.bucket_col).agg(F.sum(h).alias("fp")).collect()
+        return {r[self.bucket_col]: r["fp"] for r in rows}
+
+    def latest_fingerprints(self) -> dict[int, int]:
+        """Last recorded fingerprint per bucket across ALL runs (the
+        previous validation states to diff against)."""
+        if not os.path.exists(self.manifest_path):
+            return {}
+        m = self.spark.read.parquet(self.manifest_path)
+        rows = (
+            m.where(F.col("status") == "done")
+            .groupBy("bucket")
+            .agg(F.max_by("fingerprint", "finished_at").alias("fp"),
+                 F.max_by("n_rows", "finished_at").alias("n_rows"),
+                 F.max_by("n_violations", "finished_at").alias("n_vio"))
+            .collect()
+        )
+        self._latest_meta = {r["bucket"]: (r["n_rows"], r["n_vio"]) for r in rows}
+        return {r["bucket"]: r["fp"] for r in rows}
+
+    def run_incremental(self, df: DataFrame) -> dict:
+        """Nightly-rerun mode: re-validate ONLY buckets whose content
+        fingerprint changed since the last recorded validation (new
+        buckets count as changed; a bucket whose previous manifest row
+        predates fingerprints, i.e. fingerprint NULL, also counts as
+        changed). Unchanged buckets carry their previous metrics
+        forward as a mode='carried' manifest row and keep their
+        already-written violations partition — so an append-mostly
+        table pays only for the buckets that actually moved."""
+        fps = self.bucket_fingerprints(df)
+        prev = self.latest_fingerprints()
+        carried = validated = 0
+        for b in sorted(fps):
+            if b in prev and prev[b] is not None and prev[b] == fps[b]:
+                n_rows, n_vio = self._latest_meta[b]
+                self._append_manifest(
+                    b, n_rows, n_vio, 0.0, fps[b], mode="carried"
+                )
+                carried += 1
+            else:
+                self._validate_bucket(df, b, fps[b])
+                validated += 1
+        return {
+            "run_id": self.run_id,
+            "buckets_total": len(fps),
+            "buckets_validated": validated,
+            "buckets_carried": carried,
+        }
+
     # -- run -----------------------------------------------------------
+
+    def _validate_bucket(
+        self, df: DataFrame, b: int, fingerprint: int | None = None
+    ) -> None:
+        t0 = time.time()
+        part = df.where(F.col(self.bucket_col) == b)
+        vio = self.plan.violations(part, with_message=False)
+        # per-bucket directory -> re-running a bucket overwrites, not
+        # duplicates (exactly-once output under at-least-once driver)
+        out_dir = os.path.join(self.violations_path, f"bucket={b}")
+        vio.write.mode("overwrite").parquet(out_dir)
+        # ONE expensive check-evaluation pass per bucket: the
+        # violation count comes from the (tiny) written output and
+        # the row count from a projection-free count — a prior
+        # version ran the fused check projection twice (once for
+        # counts, once for the write), doubling every bucket's cost
+        nv = self.spark.read.parquet(out_dir).count()
+        # row count and content fingerprint in ONE projection-light pass
+        # (full runs record fingerprints too, so a later run_incremental
+        # can diff against them)
+        h = F.pmod(
+            F.xxhash64(*[F.col(c) for c in part.columns]), F.lit(1 << 31)
+        )
+        meta = part.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(h).alias("fp")
+        ).head()
+        fp = fingerprint if fingerprint is not None else meta["fp"]
+        self._append_manifest(b, meta["n"], nv, time.time() - t0, fp)
 
     def run(
         self,
@@ -92,21 +189,7 @@ class CheckpointedRun:
         for b in todo:
             if fail_after is not None and processed >= fail_after:
                 raise RuntimeError(f"injected failure after {processed} buckets")
-            t0 = time.time()
-            part = df.where(F.col(self.bucket_col) == b)
-            vio = self.plan.violations(part, with_message=False)
-            # per-bucket directory -> re-running a bucket overwrites, not
-            # duplicates (exactly-once output under at-least-once driver)
-            out_dir = os.path.join(self.violations_path, f"bucket={b}")
-            vio.write.mode("overwrite").parquet(out_dir)
-            # ONE expensive check-evaluation pass per bucket: the
-            # violation count comes from the (tiny) written output and
-            # the row count from a projection-free count — a prior
-            # version ran the fused check projection twice (once for
-            # counts, once for the write), doubling every bucket's cost
-            nv = self.spark.read.parquet(out_dir).count()
-            n = part.count()
-            self._append_manifest(b, n, nv, time.time() - t0)
+            self._validate_bucket(df, b)
             processed += 1
         return {
             "run_id": self.run_id,
