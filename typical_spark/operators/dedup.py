@@ -614,9 +614,9 @@ def bloom_contamination(
     defaults for ~180k benchmark shingles) then join the benchmark
     shingles exactly; only candidates reach that shuffle.
 
-    Reference semantics: same containment contract as
-    ngram_contamination (typic/constraints/array.py values-containment
-    applied to shingle sets); the Bloom stage is pure pruning.
+    No reference analog (training-data-pipeline surface, same as
+    ngram_contamination, whose output contract this matches exactly);
+    the Bloom stage is pure pruning.
     """
     dsh = docs.select(
         F.col(id_col).alias("doc_id"),
