@@ -1324,6 +1324,10 @@ def test_bloom_contamination_plan_keeps_corpus_unshuffled(spark, docs_df):
     semis = plan.count("LeftSemi")
     assert semis >= 3, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+    # every Bloom probe must be a BROADCAST semi join: a shuffled semi
+    # would move the corpus to meet the bitmap
+    assert "SortMergeJoin LeftSemi" not in plan, plan
+    assert "ShuffledHashJoin LeftSemi" not in plan, plan
 
 
 def test_rank_buckets_exact_ntile(spark):
