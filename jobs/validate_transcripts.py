@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--bucket-col", default="bucket")
     ap.add_argument("--checkpointed", action="store_true",
                     help="per-bucket checkpointed mode (resumable)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="nightly-rerun mode: re-validate only buckets "
+                         "whose content fingerprint changed since the "
+                         "last manifest entry (implies --checkpointed)")
     ap.add_argument("--spec", default=None,
                     help="JSON TableSpec file (spec_io format); default: "
                          "the built-in transcript spec")
@@ -69,10 +73,10 @@ def main(argv=None) -> int:
             if not args.conversations.startswith("iceberg://") \
             else spark.read.format("iceberg").load(args.conversations[len("iceberg://"):])
 
-    if args.checkpointed:
+    if args.checkpointed or args.incremental:
         run = CheckpointedRun(spark, plan, args.out, run_id=args.run_id,
                               bucket_col=args.bucket_col)
-        summary = run.run(tdf)
+        summary = run.run_incremental(tdf) if args.incremental else run.run(tdf)
         print(json.dumps(summary))
         return 0
 

@@ -104,3 +104,27 @@ def test_incremental_revalidation_only_changed_buckets(spark, bucketed_df):
         assert all(v == "carried" for b, v in m.items() if b != target)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_validate_job_incremental_flag(spark, transcripts_df, tmp_path):
+    """--incremental on the cluster entrypoint: the first nightly run
+    validates every bucket, an immediate rerun over the unchanged input
+    carries all of them forward (fingerprint diff, zero re-validation)."""
+    from jobs.validate_transcripts import main
+
+    inp = str(tmp_path / "in")
+    transcripts_df.limit(2000).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    assert main(["--input", inp, "--out", out,
+                 "--run-id", "n1", "--incremental"]) == 0
+    assert main(["--input", inp, "--out", out,
+                 "--run-id", "n2", "--incremental"]) == 0
+    m = spark.read.parquet(f"{out}/manifest").collect()
+    modes = {}
+    for r in m:
+        modes.setdefault(r["run_id"], []).append(r["mode"])
+    assert set(modes["n1"]) == {"validated"}
+    assert set(modes["n2"]) == {"carried"}
+    assert len(modes["n2"]) == len(modes["n1"])
