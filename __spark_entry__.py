@@ -581,6 +581,19 @@ def q_events_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_by_group(ev, "value", "event_type", threshold=0.02)
 
 
+def q_events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequences (runs.ordered_paths) — the
+    conversation/transcript-assembly export shape: one map-side-combined
+    collect_list per key, ordered INSIDE the array under the total order
+    (ts, event_id), no window and no per-group sort task. Rows with a
+    NULL key/value/order column are excluded (engines disagree on NULL
+    collation placement)."""
+    from typical_spark.operators.runs import ordered_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return ordered_paths(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
 def q_events_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition PSI drift verdicts: each event type's value
     histogram against the global one (drift.psi_by_group) — the binned
@@ -1305,11 +1318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     aggregation queries are back inside the window per the round-4
     verdict, and the round-5-new queries (span_para_clean, containment,
     batch_topk, quality_model, semantic_dups, shuffle, dsir,
-    ks_by_type, psi_by_type, contamination_bloom, lm_buckets) are
-    in-window; 10 long-stable text-analysis queries plus
-    events_hourly_rollup, events_rolling_counts, events_funnel,
-    documents_chunks, events_sessionize, events_click_windows,
-    events_value_outliers and events_value_quantiles rotate out and
+    ks_by_type, psi_by_type, user_paths, contamination_bloom,
+    lm_buckets) are in-window; 10 long-stable text-analysis queries
+    plus events_hourly_rollup, events_rolling_counts, events_funnel,
+    documents_chunks, documents_except, events_sessionize,
+    events_click_windows, events_value_outliers and
+    events_value_quantiles rotate out and
     return in round 6) so every
     entry gets a driver-graded row at least every other round. Entries
     past the cut stay under an AUTOMATIC local gate:
@@ -1329,7 +1343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_minhash_pairs": q_documents_minhash_pairs,
         "documents_simhash_pairs": q_documents_simhash_pairs,
         "embeddings_near_dups": q_embeddings_near_dups,
-        "documents_except": q_documents_except,
         "orders_verdicts": q_orders_verdicts,
         "events_props_coerce": q_events_props_coerce,
         "events_durations": q_events_durations,
@@ -1344,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_cross_dups": q_documents_cross_dups,
         "events_ks_by_type": q_events_ks_by_type,
         "events_psi_by_type": q_events_psi_by_type,
+        "events_user_paths": q_events_user_paths,
         "documents_contamination_bloom": q_documents_contamination_bloom,
         "documents_lm_buckets": q_documents_lm_buckets,
         "embeddings_quantized": q_embeddings_quantized,
@@ -1370,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver's 50-entry grading window this round
         # (rotated out; driver-green in rounds 2-4, still gated by
         # test_rotated_out_queries_still_green + tools/check_oracles.py)
+        "documents_except": q_documents_except,
         "events_sessionize": q_events_sessionize,
         "events_click_windows": q_events_click_windows,
         "events_value_outliers": q_events_value_outliers,
@@ -2113,6 +2128,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM j GROUP BY 1, 2
             )
             SELECT group_id, n_group, psi, psi > 0.05 AS drifted FROM s
+        """,
+        "events_user_paths": """
+            -- ordered sequence assembly under the total order
+            -- (ts, event_id); NULL key/value/order rows excluded (NULL
+            -- collation placement differs across engines)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   list(event_type ORDER BY ts, event_id) AS items,
+                   array_to_string(
+                       list(event_type ORDER BY ts, event_id), ' -> '
+                   ) AS path
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND ts IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY user_id
         """,
         "events_durations": """
             -- known-answer oracle for the ISO-duration/time round trip:

@@ -666,3 +666,35 @@ def test_tokenizer_seam_chunking_and_plan(spark):
     # the seam difference is covered by the packing test; this test
     # pins plan shape + parity of the shared arithmetic
     assert got_bpe[2]["end"] == 1
+
+
+def test_ordered_paths_assembly(spark):
+    """Per-key ordered assembly: total-order (ts, id) inside the array,
+    NULL key/value/order rows excluded, max_len truncates AFTER the
+    sort while n_items counts the full sequence."""
+    import datetime as dt
+
+    from typical_spark.operators.runs import ordered_paths
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, t0, 3, "c"),
+        (1, t0, 2, "b"),                        # ts tie -> id breaks it
+        (1, dt.datetime(2024, 12, 31), 1, "a"),
+        (1, None, 9, "zz"),                     # null order col: excluded
+        (2, t0, 4, "x"),
+        (2, t0, 5, None),                       # null value: excluded
+        (None, t0, 6, "y"),                     # null key: excluded
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, id long, v string")
+    got = {r["k"]: r for r in
+           ordered_paths(df, "k", ["ts", "id"], "v").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["items"] == ["a", "b", "c"] and got[1]["n_items"] == 3
+    assert got[1]["path"] == "a -> b -> c"
+    assert got[2]["items"] == ["x"]
+
+    trunc = {r["k"]: r for r in
+             ordered_paths(df, "k", ["ts", "id"], "v", max_len=2).collect()}
+    assert trunc[1]["items"] == ["a", "b"]   # keep-first after sort
+    assert trunc[1]["n_items"] == 3          # full-sequence count

@@ -124,3 +124,54 @@ def funnel_steps(
     for i in range(1, len(steps) + 1):
         reached = reached + F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
     return out.withColumn("step_reached", reached.cast("int"))
+
+
+def ordered_paths(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    sep: str = " -> ",
+    max_len: int | None = None,
+) -> DataFrame:
+    """Per-key ordered sequence assembly — the conversation/transcript
+    export shape: every key's rows collected into ONE ordered array
+    (plus a joined path string) for training serialization, session
+    analysis, or per-conversation replay. The reference's stable-order
+    iteration contract (sort within conv_id by turn_idx — SURVEY §1.2's
+    per-turn-equality invariant) lifted to an exported artifact.
+
+    Determinism requires a TOTAL order: pass tie-breaking order_cols
+    (e.g. [ts, event_id]). Rows with a NULL key, NULL value, or any
+    NULL order column are EXCLUDED (no defined identity/position — and
+    engines disagree on NULL-first vs NULL-last inside collations, so
+    keeping them would break cross-engine equality).
+
+    Scale shape: ONE map-side-combinable collect_list aggregation —
+    each row shuffles once; ordering happens INSIDE the per-key array
+    via sort_array (codegen'd, no window, no per-group sort task). A
+    key's whole sequence must fit in one task — inherent to assembly;
+    conversations are bounded, and `max_len` caps pathological keys
+    (truncates AFTER the sort: keep-first semantics).
+
+    Output: (key_col, n_items bigint, items array, path string) where
+    n_items counts the FULL sequence (pre-truncation).
+    """
+    cond = F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    for c in order_cols:
+        cond = cond & F.col(c).isNotNull()
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(value_col).alias("_v")
+    )
+    agg = df.where(cond).groupBy(key_col).agg(
+        F.sort_array(F.collect_list(order_struct)).alias("_s")
+    )
+    items = F.transform(F.col("_s"), lambda s: s["_v"])
+    if max_len is not None:
+        items = F.slice(items, 1, int(max_len))
+    return agg.select(
+        F.col(key_col),
+        F.size("_s").cast("bigint").alias("n_items"),
+        items.alias("items"),
+        F.array_join(items, sep).alias("path"),
+    )
