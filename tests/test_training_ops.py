@@ -1407,3 +1407,34 @@ def test_quantile_buckets_monotone_and_no_sort(spark):
     approx = {r["doc_id"]: r["bucket"] for r in got if r["bucket"] is not None}
     agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
     assert agree >= 0.98, agree
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shard dirs hold their rows physically sorted by pos (pyarrow
+    read, no Spark-side re-sort), every id lands in exactly one shard,
+    and a re-run is byte-identical (epoch reproducibility)."""
+    import pyarrow.parquet as pq
+
+    from typical_spark.operators.sampling import write_training_shards
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") * 7).alias("payload"))
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, "doc_id", p1, n_shards=8)
+    write_training_shards(df, "doc_id", p2, n_shards=8)
+
+    import glob
+    import os
+
+    seen = []
+    for shard_dir in sorted(glob.glob(os.path.join(p1, "shard=*"))):
+        t = pq.read_table(shard_dir).to_pandas()
+        assert list(t["pos"]) == sorted(t["pos"]), shard_dir  # physical order
+        assert list(t["pos"]) == list(range(1, len(t) + 1))   # contiguous
+        seen.extend(t["doc_id"].tolist())
+    assert sorted(seen) == list(range(500))  # exactly-once coverage
+
+    a = spark.read.parquet(p1).select("doc_id", "shard", "pos")
+    b = spark.read.parquet(p2).select("doc_id", "shard", "pos")
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(a.collect()) == key(b.collect())

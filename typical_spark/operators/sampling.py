@@ -320,3 +320,35 @@ def quantile_buckets(
             ),
         )
     return out
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int = 1024,
+    seed: int = 42,
+) -> None:
+    """Materialize the deterministic training order (global_shuffle) as
+    shard-partitioned parquet: `shard=<s>/` directories whose files are
+    physically sorted by pos, so a data loader streams shard dirs in
+    index order (or any fixed per-epoch permutation) with ZERO read-time
+    sorting — the "resumable data loader" layout global_shuffle's
+    docstring promises, written down.
+
+    Plan: one hash exchange on shard + a per-task sort bounded by shard
+    size (repartition(shard) -> sortWithinPartitions(shard, pos) ->
+    partitionBy(shard)); parquet preserves within-file row order, and
+    sorting by (shard, pos) keeps each shard's rows ordered even when
+    the hash lands several shards in one task. Re-running over the same
+    input produces byte-identical (id, shard, pos) assignments — the
+    whole point (epoch reproducibility, bitwise-comparable reruns).
+    """
+    out = global_shuffle(df, id_col, n_shards, seed)
+    (
+        out.repartition(min(n_shards, 256), "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
