@@ -15,7 +15,9 @@ The standard curation pipeline, each stage an oracle-verified operator:
     1. near-dup removal     keep-first survivors of minhash-LSH pairs
                             (dedup.minhash_near_duplicates + survivors)
     2. LM quality gate      drop documents below --min-logprob on the
-                            add-k bigram model (bigram_logprob_score)
+                            add-k bigram model (bigram_logprob_score),
+                            or --lm-keep-buckets head,middle for the
+                            CCNet per-language bucket form (rank_buckets)
     3. mixture rebalance    exact-count stratified sampling per language
                             (sampling.stratified_sample)
     4. split assignment     deterministic hash split (sampling.hash_split)
@@ -63,6 +65,14 @@ def main(argv=None) -> int:
     ap.add_argument("--min-logprob", type=float, default=None,
                     help="drop docs with avg bigram logprob below this; "
                          "omit to skip the LM gate")
+    ap.add_argument("--lm-keep-buckets", default=None,
+                    help="CCNet-style alternative to --min-logprob: rank "
+                         "each language's docs by LM score into "
+                         "head/middle/tail (sampling.rank_buckets) and "
+                         "keep only the named buckets, e.g. "
+                         "'head,middle'. Unscored (<2-token) and "
+                         "NULL-language docs pass through (no score/"
+                         "bucket identity is not a drop verdict).")
     ap.add_argument("--strata", default="",
                     help="lang=frac[,lang=frac...] exact-count keep "
                          "fractions; omit to skip rebalancing")
@@ -84,6 +94,9 @@ def main(argv=None) -> int:
     ap.add_argument("--fail-after-stage", default=None,
                     help=argparse.SUPPRESS)  # kill-and-resume test hook
     args = ap.parse_args(argv)
+    if args.min_logprob is not None and args.lm_keep_buckets:
+        ap.error("--min-logprob and --lm-keep-buckets are alternative "
+                 "LM gates; pass one")
 
     # getOrCreate() would apply runtime confs to an ALREADY-RUNNING
     # session (permanently flipping ANSI off for a host embedding this
@@ -207,7 +220,7 @@ def main(argv=None) -> int:
         ).count()
         kept = kept.drop("n_dropped")
 
-    if args.min_logprob is not None:
+    if args.min_logprob is not None or args.lm_keep_buckets:
         base = kept
 
         def _lm_gate():
@@ -219,6 +232,40 @@ def main(argv=None) -> int:
                 lm.select(args.id_col, "avg_logprob", "ppl"),
                 args.id_col, "left",
             )
+            if args.lm_keep_buckets:
+                from typical_spark.operators.sampling import rank_buckets
+
+                labels = ("head", "middle", "tail")
+                keep = {s.strip() for s in args.lm_keep_buckets.split(",")
+                        if s.strip()}
+                unknown = keep - set(labels)
+                if unknown:
+                    raise ValueError(
+                        f"--lm-keep-buckets: unknown bucket(s) {sorted(unknown)}; "
+                        f"valid: {labels}"
+                    )
+                # rank_buckets needs a score AND a language identity;
+                # rows lacking either pass through (same policy as the
+                # unscored path of the threshold gate / the NULL-lang
+                # path of the rebalance stage)
+                scored = joined.where(
+                    F.col("avg_logprob").isNotNull()
+                    & F.col(args.lang_col).isNotNull()
+                )
+                passthrough = joined.where(
+                    F.col("avg_logprob").isNull()
+                    | F.col(args.lang_col).isNull()
+                )
+                b = rank_buckets(
+                    scored, args.id_col, "avg_logprob",
+                    group_col=args.lang_col, n_buckets=3,
+                    labels=labels, ascending=False,
+                )
+                return (
+                    b.where(F.col("bucket_label").isin(*sorted(keep)))
+                    .drop("bucket", "bucket_label")
+                    .unionByName(passthrough)
+                )
             return joined.where(
                 F.col("avg_logprob").isNull()
                 | (F.col("avg_logprob") >= args.min_logprob)

@@ -2,6 +2,8 @@
 process: every stage engaged, outputs written, counts monotone."""
 
 import json
+
+import pytest
 import sys
 
 
@@ -197,3 +199,38 @@ def test_curate_job_span_strip_stage(spark, tmp_path, capsys):
     assert surv[2]["n_chars"] == len(surv[2]["text"])
     # untouched doc keeps raw text + original length
     assert surv[3]["text"] == rows[2][1] and surv[3]["n_chars"] == 47
+
+
+def test_curate_job_lm_bucket_gate(spark, tmp_path, capsys):
+    """--lm-keep-buckets head,middle: the CCNet bucket gate keeps ~2/3 of
+    each language's scored docs (ntile depths differ by <=1), passes
+    unscored docs through, and is mutually exclusive with
+    --min-logprob."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_documents
+
+    out = tmp_path / "curated_buckets"
+    rc = curate_documents.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out),
+        "--lm-keep-buckets", "head,middle",
+    ])
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    dedup, gated = counts["after_dedup"], counts["after_lm_gate"]
+    unscored = counts["lm_unscored_kept"]
+    # kept = unscored + ~2/3 of scored (per-language ntile, +-1 per lang)
+    scored = dedup - unscored
+    assert abs(gated - unscored - 2 * scored / 3) <= 5  # +-1 per language (5 langs)
+    assert gated < dedup
+
+    surv = spark.read.parquet(str(out / "survivors"))
+    assert surv.count() == gated
+
+    with pytest.raises(SystemExit):
+        curate_documents.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(tmp_path / "x"),
+            "--min-logprob", "-3.45",
+            "--lm-keep-buckets", "head",
+        ])
