@@ -134,6 +134,7 @@ def main(argv=None) -> int:
             "input": args.input, "id_col": args.id_col,
             "text_col": args.text_col, "lang_col": args.lang_col,
             "jaccard": args.jaccard, "min_logprob": args.min_logprob,
+            "lm_keep_buckets": args.lm_keep_buckets,
             "strata": args.strata,
             "default_fraction": args.default_fraction,
             "strip_spans": args.strip_spans,
