@@ -581,6 +581,23 @@ def q_events_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_by_group(ev, "value", "event_type", threshold=0.02)
 
 
+def q_documents_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-certified top-15 tokens via the Misra-Gries bounded-shuffle
+    path (stats.heavy_hitters): per-partition summaries of <= capacity
+    rows + exact recount of survivors — the scale twin of the full
+    distinct-token shuffle in documents_top_tokens. The operator RAISES
+    if the MG bound cannot certify exactness, so a green row here means
+    the sketch path provably equals the plain exact SQL."""
+    from typical_spark.functions.text_analysis import normalize_text
+    from typical_spark.operators.stats import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=15, capacity=4096)
+
+
 def q_events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered event-type sequences (runs.ordered_paths) — the
     conversation/transcript-assembly export shape: one map-side-combined
@@ -1318,10 +1335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     aggregation queries are back inside the window per the round-4
     verdict, and the round-5-new queries (span_para_clean, containment,
     batch_topk, quality_model, semantic_dups, shuffle, dsir,
-    ks_by_type, psi_by_type, user_paths, contamination_bloom,
-    lm_buckets) are in-window; 10 long-stable text-analysis queries
-    plus events_hourly_rollup, events_rolling_counts, events_funnel,
-    documents_chunks, documents_except, events_sessionize,
+    ks_by_type, psi_by_type, user_paths, heavy_hitters,
+    contamination_bloom, lm_buckets) are in-window; 10 long-stable
+    text-analysis queries plus events_hourly_rollup,
+    events_rolling_counts, events_funnel, documents_chunks,
+    documents_exact_dups, documents_except, events_sessionize,
     events_click_windows, events_value_outliers and
     events_value_quantiles rotate out and
     return in round 6) so every
@@ -1338,7 +1356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_referential": q_orders_referential,
         "lineitem_referential": q_lineitem_referential,
         "events_ts_ordering": q_events_ts_ordering,
-        "documents_exact_dups": q_documents_exact_dups,
         "embeddings_topk": q_embeddings_topk,
         "documents_minhash_pairs": q_documents_minhash_pairs,
         "documents_simhash_pairs": q_documents_simhash_pairs,
@@ -1358,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_by_type": q_events_ks_by_type,
         "events_psi_by_type": q_events_psi_by_type,
         "events_user_paths": q_events_user_paths,
+        "documents_heavy_hitters": q_documents_heavy_hitters,
         "documents_contamination_bloom": q_documents_contamination_bloom,
         "documents_lm_buckets": q_documents_lm_buckets,
         "embeddings_quantized": q_embeddings_quantized,
@@ -1384,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver's 50-entry grading window this round
         # (rotated out; driver-green in rounds 2-4, still gated by
         # test_rotated_out_queries_still_green + tools/check_oracles.py)
+        "documents_exact_dups": q_documents_exact_dups,
         "documents_except": q_documents_except,
         "events_sessionize": q_events_sessionize,
         "events_click_windows": q_events_click_windows,
@@ -2128,6 +2147,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM j GROUP BY 1, 2
             )
             SELECT group_id, n_group, psi, psi > 0.05 AS drifted FROM s
+        """,
+        "documents_heavy_hitters": """
+            -- the MG path's certified-exact contract: plain exact top-k
+            -- (k=15, ties broken by token) — identical semantics to the
+            -- one-pass path, different physical plan
+            WITH toks AS (
+                SELECT unnest(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                    '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents
+            )
+            SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM toks WHERE tok IS NOT NULL
+            GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 15
         """,
         "events_user_paths": """
             -- ordered sequence assembly under the total order

@@ -698,3 +698,30 @@ def test_ordered_paths_assembly(spark):
              ordered_paths(df, "k", ["ts", "id"], "v", max_len=2).collect()}
     assert trunc[1]["items"] == ["a", "b"]   # keep-first after sort
     assert trunc[1]["n_items"] == 3          # full-sequence count
+
+
+def test_heavy_hitters_exact_certified(spark):
+    """MG candidate pass + exact recount equals the plain exact top-k on
+    skewed data even with a TINY summary capacity; flat data below the
+    certification bound raises instead of silently approximating."""
+    from typical_spark.operators.stats import heavy_hitters
+
+    rows = [(f"tok{i % 7}",) for i in range(7000)]          # zipf-ish heads
+    rows += [(f"rare{i}",) for i in range(3000)]            # long tail
+    df = spark.createDataFrame(rows, "t string").repartition(8)
+    got = [(r["t"], r["n"]) for r in heavy_hitters(df, "t", k=7, capacity=64).collect()]
+    exact = [(r["t"], r["n"]) for r in
+             df.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), F.col("t").asc()).limit(7).collect()]
+    assert got == exact
+    assert all(n == 1000 for _, n in got)
+
+    import pytest as _pytest
+
+    flat = spark.createDataFrame(
+        [(f"u{i}",) for i in range(5000)], "t string"
+    ).repartition(8)
+    with _pytest.raises(ValueError, match="not certifiable"):
+        heavy_hitters(flat, "t", k=5, capacity=32)
+    with _pytest.raises(ValueError, match="capacity > k"):
+        heavy_hitters(df, "t", k=64, capacity=64)

@@ -270,3 +270,108 @@ def rolling_time_agg(
     if value_col is not None:
         out = out.withColumn("sum_trailing", F.sum(F.col(value_col)).over(w))
     return out
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT top-k frequent values with a Misra-Gries bounded-shuffle
+    plan — the scale twin of the plain `groupBy(col).count() ->
+    TakeOrdered` path, whose shuffle carries the FULL distinct-value
+    table (at 100 TB of tokens, itself huge). Here each partition ships
+    at most `capacity` (value, estimate) summary rows:
+
+      pass 1 (mapInPandas): batched Misra-Gries per partition — exact
+        per-batch value_counts folded into a running summary; whenever
+        it exceeds `capacity`, the (capacity+1)-th largest weight is
+        subtracted from every entry and non-positive entries drop. Each
+        subtraction consumes >= (capacity+1) x delta of the partition's
+        mass, so any value's total deficit is < n/(capacity+1) GLOBALLY
+        after summing partitions — no true heavy hitter can vanish.
+        The pass also emits one NULL-keyed row per partition carrying
+        its row count, so the certification total needs no extra scan.
+      pass 2: the surviving candidates (<= capacity x n_partitions
+        rows) broadcast back as a LEFT SEMI prune and are recounted
+        EXACTLY; top-k by (count desc, value asc) is the output.
+
+    Certification: the result is provably the exact top-k iff the k-th
+    exact count exceeds n/(capacity+1) (any non-candidate's true count
+    is below that bound). If the guarantee does not hold — near-flat
+    data or capacity too small — this RAISES with the sizing advice
+    rather than returning a silently-approximate answer; the one-pass
+    exact path (e.g. q_documents_top_tokens) is the fallback.
+
+    NULL values are excluded (no frequency identity). Output:
+    (col, n bigint), exactly k rows (fewer if < k distinct values).
+    """
+    import pandas as pd
+
+    if k < 1 or capacity <= k:
+        raise ValueError(f"need capacity > k >= 1, got k={k} capacity={capacity}")
+    # the summary schema is string-typed; non-string values participate
+    # via their canonical string form
+    src = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("_v")
+    )
+
+    cap = int(capacity)
+
+    def mg(batches):
+        ser = None
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            vc = pdf["_v"].value_counts()
+            ser = vc if ser is None else ser.add(vc, fill_value=0)
+            if len(ser) > cap:
+                delta = ser.nlargest(cap + 1).iloc[-1]
+                ser = ser[ser > delta] - delta
+        if ser is None:
+            ser = pd.Series(dtype="float64")
+        yield pd.DataFrame(
+            {
+                "_v": list(ser.index) + [None],
+                "est": list(ser.astype("int64")) + [n_rows],
+            }
+        )
+
+    summary = src.mapInPandas(mg, "_v string, est long").persist()
+    total = summary.where(F.col("_v").isNull()).groupBy().agg(
+        F.sum("est").alias("n")
+    ).head()["n"] or 0
+    cands = summary.where(F.col("_v").isNotNull()).select("_v").distinct()
+    exact = (
+        src.join(F.broadcast(cands), "_v", "left_semi")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("_v").asc())
+        .limit(int(k))
+    )
+    rows = exact.collect()  # k rows, bounded
+    summary.unpersist(blocking=False)
+    bound = total / (cap + 1)
+    if len(rows) == k and rows[-1]["n"] <= bound:
+        raise ValueError(
+            f"top-{k} not certifiable: k-th count {rows[-1]['n']} <= "
+            f"n/(capacity+1) = {bound:.1f}; raise capacity (or use the "
+            "one-pass exact path)"
+        )
+    if len(rows) < k and total > 0:
+        # fewer candidates than k: exact ONLY if no non-candidate value
+        # exists at all (flat data can cancel every MG summary to
+        # empty). The distinct count here is the cost of refusing to be
+        # silently approximate — and only paid in the failure regime.
+        if src.distinct().count() > len(rows):
+            raise ValueError(
+                f"top-{k} not certifiable: only {len(rows)} candidates "
+                f"survived the summary (capacity {cap}) but more distinct "
+                "values exist; raise capacity (or use the one-pass exact "
+                "path)"
+            )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r["_v"], r["n"]) for r in rows], f"{col} string, n bigint"
+    )
