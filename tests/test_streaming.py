@@ -493,3 +493,78 @@ def test_drift_stream_monitor_redelivery_exactly_once(spark, tmp_path):
     assert sorted(
         map(str, spark.read.parquet(str(tmp_path / "verdicts")).collect())
     ) == first_verdicts
+
+
+def test_drift_monitor_compact_state(spark, tmp_path):
+    """compact_state folds all but the newest batch into one batch_id=-1
+    row per group; the running digest's quantiles survive within sketch
+    tolerance, the next micro-batch still upserts cleanly, and its
+    verdict matches an uncompacted twin."""
+    import numpy as np
+
+    from typical_spark.streaming.drift_monitor import (
+        _digest_of,
+        compact_state,
+        drift_stream_monitor,
+        reference_digests,
+    )
+
+    rng = np.random.default_rng(3)
+    schema = "g string, v double"
+    ref_path = str(tmp_path / "ref")
+    reference_digests(
+        spark.createDataFrame(
+            [("a", float(v)) for v in rng.normal(0, 1, 2000)], schema
+        ),
+        "v", "g", ref_path,
+    )
+
+    def run_batches(root, new_batches):
+        """Append new files and RESUME the same checkpoint, so only the
+        new files are processed as new micro-batches."""
+        import time as _time
+
+        src = root / "src"
+        for b in new_batches:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append").parquet(str(src))
+            _time.sleep(1.1)  # file source orders micro-batches by mod time
+        q = drift_stream_monitor(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src)),
+            reference_path=ref_path,
+            state_dir=str(root / "state"),
+            verdicts_dir=str(root / "verdicts"),
+            checkpoint_dir=str(root / "ck"),
+            value_col="v",
+            group_col="g",
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    b1 = [("a", float(v)) for v in rng.normal(0, 1, 1500)]
+    b2 = [("a", float(v)) for v in rng.normal(0, 1, 1500)]
+    b3 = [("a", float(v)) for v in rng.normal(2, 1, 1500)]
+
+    twin = tmp_path / "twin"
+    run_batches(twin, [b1, b2, b3])  # uncompacted reference run
+
+    main = tmp_path / "main"
+    run_batches(main, [b1, b2])
+    before = _digest_of(
+        spark.read.parquet(str(main / "state")).collect()
+    ).quantile(np.asarray([0.1, 0.5, 0.9]))
+    n_rows = compact_state(spark, str(main / "state"), keep_last=1)
+    state = spark.read.parquet(str(main / "state")).collect()
+    assert n_rows == len(state) == 2  # (-1, a) + (1, a)
+    assert {r["batch_id"] for r in state} == {-1, 1}
+    after = _digest_of(state).quantile(np.asarray([0.1, 0.5, 0.9]))
+    assert np.all(np.abs(before - after) < 0.05)
+
+    run_batches(main, [b3])  # resume: only b3 is a new micro-batch
+    v_main = {r["batch_id"]: r for r in
+              spark.read.parquet(str(main / "verdicts")).collect()}
+    v_twin = {r["batch_id"]: r for r in
+              spark.read.parquet(str(twin / "verdicts")).collect()}
+    assert v_main[2]["drifted"] == v_twin[2]["drifted"] is True
+    assert abs(v_main[2]["ks_stat"] - v_twin[2]["ks_stat"]) < 0.02

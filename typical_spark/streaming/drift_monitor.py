@@ -22,8 +22,9 @@ foreachBatch shape (streaming_verdicts bridge):
 
 Keeping PER-BATCH digests (not one mutable running row) is what makes
 redelivery idempotent without read-modify-write races: state size is
-O(#batches x |groups|) rows of ~compression floats — tiny; compact by
-re-merging old batches offline if a stream runs for years.
+O(#batches x |groups|) rows of ~compression floats — tiny; on a
+years-long stream, `compact_state` folds old batches into one row per
+group (safe: redelivery only replays the LAST uncommitted batch).
 
 Driver-side bounds: digests and verdicts are O(|groups|) rows per batch
 (the same bounded-collect contract as drift.drift_report); the raw
@@ -136,3 +137,61 @@ def drift_stream_monitor(
 
     os.makedirs(os.path.dirname(state_dir) or ".", exist_ok=True)
     return streaming_verdicts(stream, handle, checkpoint_dir, trigger_seconds)
+
+
+def compact_state(
+    spark,
+    state_dir: str,
+    keep_last: int = 1,
+    compression: int = 100,
+) -> int:
+    """Fold all but the newest `keep_last` micro-batches' digest rows
+    into ONE row per group (batch_id = -1), bounding state growth on a
+    long-lived stream. Safe w.r.t. redelivery: checkpoint redelivery
+    only ever replays the LAST uncommitted micro-batch, so rows older
+    than `keep_last` batches can never be re-upserted — merging them
+    loses no idempotency. Re-compressing merged digests is the standard
+    t-digest trade (merge is order-independent but re-compression is
+    not bit-exact; quantile error stays within the sketch's bound — the
+    compaction test pins verdict stability).
+
+    Returns the number of rows in the compacted state table. Driver
+    work is bounded: the state is O(batches x |groups|) sketch rows.
+    """
+    import pandas as pd
+
+    rows = spark.read.parquet(state_dir).collect()
+    if not rows:
+        return 0
+    cutoff = max(r["batch_id"] for r in rows) - int(keep_last) + 1
+    keep = [r for r in rows if r["batch_id"] >= cutoff]
+    old: dict[str, list] = {}
+    for r in rows:
+        if r["batch_id"] < cutoff:
+            old.setdefault(r["group_id"], []).append(r)
+    merged = [
+        (-1, gid, float(sum(r["n"] for r in rs)),
+         _digest_of(rs, compression).means.tolist(),
+         _digest_of(rs, compression).weights.tolist())
+        for gid, rs in sorted(old.items())
+    ]
+    kept = [
+        (r["batch_id"], r["group_id"], r["n"], r["means"], r["weights"])
+        for r in keep
+    ]
+    out = spark.createDataFrame(
+        pd.DataFrame(
+            merged + kept,
+            columns=["batch_id", "group_id", "n", "means", "weights"],
+        ),
+        _STATE_SCHEMA,
+    )
+    # same atomic rewrite-swap discipline as the local merge_keyed
+    # stand-in: write aside, then swap
+    tmp = state_dir.rstrip("/") + ".compact_tmp"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(state_dir)
+    shutil.move(tmp, state_dir)
+    return len(merged) + len(kept)
