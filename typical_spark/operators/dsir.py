@@ -95,6 +95,22 @@ def _bucket_counts(
     )
 
 
+def _feature_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(_f, _n) distinct-feature occurrence counts — map-side-combined,
+    so the shuffle carries per-partition distinct features, not the
+    occurrence stream. Feeds the hash-each-distinct-feature-once path
+    (see dsir_log_weights)."""
+    from typical_spark.operators.dedup import _ensure_parallelism
+
+    feats = _features(F.col(text_col))
+    return (
+        _ensure_parallelism(df.where(F.col(text_col).isNotNull()))
+        .select(F.explode(feats).alias("_f"))
+        .groupBy("_f")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -116,12 +132,38 @@ def dsir_log_weights(
     # the count tables are <= dim rows; persist so each corpus is
     # feature-hashed ONCE (the totals job materializes the cache, the
     # lr join reuses it) — released via release_cache(result)
-    cnt_t = _bucket_counts(target, text_col, dim, reproducible, "nt").persist()
-    cnt_r = _bucket_counts(raw, text_col, dim, reproducible, "nr").persist()
-    # totals are single-row aggregates; collected once, folded as
-    # literals (bounded driver work by construction)
-    tot_t = cnt_t.agg(F.sum("nt")).first()[0] or 0
-    tot_r = cnt_r.agg(F.sum("nr")).first()[0] or 0
+    #
+    # reproducible=True pays an md5-derived hash per feature — guide
+    # §2.3/§4 applied to the hash: aggregate to DISTINCT features first
+    # (map-side combine) and hash each once, so md5 cost is
+    # vocabulary-scale, not corpus x features (same trick as
+    # quality_model.score_documents_expr hash_distinct; A/B at sf0.1:
+    # md5-per-occurrence ~11x over xxhash64). Counts, totals and the lr
+    # table are bit-identical either way (integer counts reassociate
+    # exactly).
+    fr = None
+    if reproducible:
+        ft = _feature_counts(target, text_col).persist()
+        fr = _feature_counts(raw, text_col).withColumn(
+            "bucket", _bucket(F.col("_f"), dim, reproducible)
+        ).persist()
+        cnt_t = (
+            ft.select(_bucket(F.col("_f"), dim, reproducible).alias("bucket"), "_n")
+            .groupBy("bucket")
+            .agg(F.sum("_n").alias("nt"))
+        )
+        cnt_r = fr.groupBy("bucket").agg(F.sum("_n").alias("nr"))
+        tot_t = ft.agg(F.sum("_n")).first()[0] or 0
+        tot_r = fr.agg(F.sum("_n")).first()[0] or 0
+        caches = [ft, fr]
+    else:
+        cnt_t = _bucket_counts(target, text_col, dim, reproducible, "nt").persist()
+        cnt_r = _bucket_counts(raw, text_col, dim, reproducible, "nr").persist()
+        caches = [cnt_t, cnt_r]
+        # totals are single-row aggregates; collected once, folded as
+        # literals (bounded driver work by construction)
+        tot_t = cnt_t.agg(F.sum("nt")).first()[0] or 0
+        tot_r = cnt_r.agg(F.sum("nr")).first()[0] or 0
     a = float(alpha)
     lr = (
         cnt_t.join(cnt_r, "bucket", "full_outer")
@@ -152,20 +194,31 @@ def dsir_log_weights(
     exploded = (
         _ensure_parallelism(raw.where(F.col(text_col).isNotNull()))
         .select(F.col(id_col), F.explode(feats).alias("_f"))
-        .withColumn("bucket", _bucket(F.col("_f"), dim, reproducible))
     )
-    # every raw bucket is present in cnt_r, hence in the full-outer lr
-    # table — the inner broadcast join loses no rows by construction
+    if reproducible:
+        # per-feature lr dim table: every raw feature is in fr, its
+        # bucket is in cnt_r, hence in the full-outer lr table — the
+        # occurrence stream joins on the feature STRING and never
+        # re-hashes; row order through the aggregate is unchanged, so
+        # log_w is bit-identical to the per-occurrence-hash plan
+        flr = fr.join(F.broadcast(lr), "bucket").select("_f", "lr")
+        probed = exploded.join(F.broadcast(flr), "_f")
+    else:
+        # every raw bucket is present in cnt_r, hence in the full-outer
+        # lr table — the inner broadcast join loses no rows by
+        # construction
+        probed = exploded.withColumn(
+            "bucket", _bucket(F.col("_f"), dim, reproducible)
+        ).join(F.broadcast(lr), "bucket")
     out = (
-        exploded.join(F.broadcast(lr), "bucket")
-        .groupBy(id_col)
+        probed.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             F.sum("lr").alias("log_w"),
         )
         .select(id_col, F.col("n_feats").cast("bigint"), "log_w")
     )
-    out._owned_cache = [cnt_t, cnt_r]  # dedup.release_cache(out) after use
+    out._owned_cache = caches  # dedup.release_cache(out) after use
     return out
 
 

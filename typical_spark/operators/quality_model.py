@@ -82,29 +82,77 @@ def score_documents_expr(
     dim: int = 8192,
     weight_fn=None,
     reproducible: bool = False,
+    hash_distinct: bool | None = None,
 ) -> DataFrame:
     """Zero-shuffle quality scoring: mean over ALL tokens (duplicates
     kept — bag-of-words, not set-of-words) of weight(bucket(token)),
     squashed by a sigmoid. One codegen'd projection per row; documents
     with no tokens are excluded (no feature evidence either way).
 
+    hash_distinct (optimization guide §2.3 "shuffle keys instead of
+    payloads", here applied to the HASH instead of the sum): when the
+    token hash is expensive (the md5-reproducible contract config), hash
+    each DISTINCT token once and broadcast-join the (token -> weight) dim
+    table, so md5 cost is vocabulary-scale instead of corpus x tokens
+    (A/B at sf0.1: md5-per-occurrence ~11x over xxhash64). Defaults to
+    exactly that rule: on for reproducible=True with the default weight
+    function, off otherwise.
+
+    The rewrite is BIT-IDENTICAL, not merely close: every pseudo_weight
+    is k/dim - 0.5 with dim a power of two, i.e. an exact dyadic
+    rational with <= log2(dim) mantissa bits, so double addition over
+    any number of tokens below 2^(53 - log2(dim)) is exact and therefore
+    associative — groupBy(sum) equals the sequential array aggregate to
+    the last bit. (A custom weight_fn has no such guarantee, hence the
+    default gate.)
+
     Output: (id_col, n_tokens int, score double, prob double) where
     score = mean token weight and prob = sigmoid(10 * score).
     """
+    if hash_distinct is None:
+        hash_distinct = reproducible and weight_fn is None
     weight_fn = weight_fn or (lambda b: pseudo_weight(b, dim))
     toks = split_normalized(F.col(text_col))
-    weights = F.transform(
-        toks, lambda t: weight_fn(hashed_bucket(t, dim, reproducible))
-    )
-    n = F.size(weights)
-    score = F.aggregate(
-        weights, F.lit(0.0), lambda acc, w: acc + w
-    ) / n.cast("double")
-    out = df.select(
-        F.col(id_col),
-        n.alias("n_tokens"),
-        score.alias("score"),
-    ).where(F.col("n_tokens") > 0)
+    if hash_distinct:
+        # n_tokens is counted IN the aggregate, never projected through
+        # the Generate: a non-generator column referencing the
+        # generator's input is re-evaluated per exploded row (the
+        # dsir.py trap — size(toks) here re-ran the tokenizer per token
+        # and was slower than the md5 it saved)
+        exploded = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+        vocab = (
+            exploded.select("_t")
+            .distinct()
+            .withColumn(
+                "_w", weight_fn(hashed_bucket(F.col("_t"), dim, reproducible))
+            )
+        )
+        out = (
+            exploded.join(F.broadcast(vocab), "_t")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                F.sum("_w").alias("_s"),
+            )
+            .select(
+                id_col,
+                "n_tokens",
+                (F.col("_s") / F.col("n_tokens").cast("double")).alias("score"),
+            )
+        )
+    else:
+        weights = F.transform(
+            toks, lambda t: weight_fn(hashed_bucket(t, dim, reproducible))
+        )
+        n = F.size(weights)
+        score = F.aggregate(
+            weights, F.lit(0.0), lambda acc, w: acc + w
+        ) / n.cast("double")
+        out = df.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            score.alias("score"),
+        ).where(F.col("n_tokens") > 0)
     return out.withColumn(
         "prob", F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-10.0) * F.col("score")))
     )

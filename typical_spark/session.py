@@ -57,6 +57,14 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark captures a Python call-site string (stack walk + one
+        # extra JVM round trip) on EVERY DataFrame API call to enrich
+        # error messages; on expression-heavy plan builders (64-wide
+        # minhash/simhash aggregates) that is ~0.5s of pure driver
+        # overhead per query build (profiled: _capture_call_site). The
+        # error itself is unchanged, only the "call site" decoration is
+        # dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # Shuffle/spill scratch: this sandbox's shared disk tops out well below
     # the CPUs (shuffle I/O was the non-scaling resource in profiling), so
