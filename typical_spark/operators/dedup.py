@@ -181,10 +181,17 @@ def _shingle_sig_bands(
             f"bands ({bands}) must divide n_hashes ({n_hashes})"
         )
     r = n_hashes // bands
+    # explode(array(...)) is a Generate barrier: without it Catalyst
+    # pushes the size() filter BELOW the projection and the whole
+    # shingle expression (3 regex passes + HOF slices) is evaluated
+    # twice per row, once in the Filter and once in the Project (the
+    # net.py parse-once trick; measured ~2x on this stage at sf0.1)
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
-            word_shingles(F.col(text_col), shingle_words).alias("_sh"),
+            F.explode(
+                F.array(word_shingles(F.col(text_col), shingle_words))
+            ).alias("_sh"),
         )
         .where(F.size("_sh") > 0)
         .persist()
@@ -356,6 +363,7 @@ def simhash_signatures(
     id_col: str,
     text_col: str,
     token_hash: Callable[[Column], Column] | None = None,
+    hash_distinct: bool | None = None,
 ) -> DataFrame:
     """(_id, _sig) simhash table via explode + 64 codegen'd sum()
     aggregates (map-side partial combine): each token hash votes +-1 per
@@ -372,11 +380,25 @@ def simhash_signatures(
     (production). Pass `md5_lower64` for cross-engine-reproducible
     signatures (DuckDB oracle verification)."""
     th = token_hash or F.xxhash64
+    # hash_distinct: hash each DISTINCT token once and broadcast-join
+    # the (token -> hash) dim table (bit votes are integer sums, so
+    # signatures are bit-identical either way). Off by default: unlike
+    # quality_model's interpreted-HOF path, the per-occurrence hash here
+    # is already codegen'd, and the A/B at sf0.1 measured the vocab join
+    # at parity (2.8s vs 2.0s warm, within host noise) — opt in only
+    # when the vocabulary is small relative to the corpus AND the token
+    # hash is expensive (e.g. the md5 contract hash at 100x this scale).
+    if hash_distinct is None:
+        hash_distinct = False
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
     )
-    hashed = toks.select("_id", th(F.col("_t")).alias("_h"))
+    if hash_distinct:
+        vocab = toks.select("_t").distinct().withColumn("_h", th(F.col("_t")))
+        hashed = toks.join(F.broadcast(vocab), "_t").select("_id", "_h")
+    else:
+        hashed = toks.select("_id", th(F.col("_t")).alias("_h"))
     # parsed expressions, not per-bit Column-API chains: the 64-wide
     # vote aggregate + 64-term assembly were ~1000 py4j round trips of
     # driver-side build time (~0.5ms each on this host); the Catalyst
@@ -450,26 +472,29 @@ def simhash_near_duplicates(
         ).alias("cc"),
     ).select("_id", "_sig", "cc.chunk", "cc.ckey")
     l, r_ = chunks.alias("l"), chunks.alias("r")
+    # hamming test INSIDE the join condition: candidate volume from
+    # 16-bit chunk collisions is quadratic-ish on low-vocabulary corpora
+    # (426k candidate rows for 5k docs at sf0.1) and dropDuplicates was
+    # shuffling all of them; filtering to true near-dups first leaves
+    # only the ~pair-count x 4 chunk hits to dedup (same output rows:
+    # hamming is a function of the pair, so filter and dropDuplicates
+    # commute)
     cand = (
         l.join(
             r_,
             (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.ckey") == F.col("r.ckey"))
-            & (F.col("l._id") < F.col("r._id")),
+            & (F.col("l._id") < F.col("r._id"))
+            & (_hamming64(F.col("l._sig"), F.col("r._sig")) <= max_hamming),
         )
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l._sig").alias("sig_a"),
-            F.col("r._sig").alias("sig_b"),
+            _hamming64(F.col("l._sig"), F.col("r._sig")).cast("int").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    out = (
-        cand.withColumn("hamming", _hamming64(F.col("sig_a"), F.col("sig_b")).cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    out = cand.select("id_a", "id_b", "hamming")
     if star is not None:
         out = out.unionAll(star)
     return out
@@ -868,10 +893,15 @@ def containment_duplicates(
     from pyspark.sql import Window
 
     df = _ensure_parallelism(df)
+    # explode(array(...)) Generate barrier: keeps Catalyst from pushing
+    # the size() filter below the projection and shingling every row
+    # twice (see _shingle_sig_bands)
     arrs = (
         df.select(
             F.col(id_col).alias("_id"),
-            word_shingles(F.col(text_col), shingle_words).alias("_sh_arr"),
+            F.explode(
+                F.array(word_shingles(F.col(text_col), shingle_words))
+            ).alias("_sh_arr"),
         )
         .where(F.size("_sh_arr") > 0)
         .persist()

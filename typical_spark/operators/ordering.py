@@ -104,9 +104,11 @@ def ordering_violations(
             )
         )
     arr = F.array_compact(F.array(*checks))
+    # no size() pre-filter: explode drops empty arrays itself, and a
+    # filter would be pushed below the projection, evaluating the check
+    # array twice per row
     return (
         lagged.withColumn("_v", arr)
-        .where(F.size("_v") > 0)
         .select(*group_cols, F.col(order_col), F.explode("_v").alias("v"))
         .select(*group_cols, F.col(order_col), "v.*")
     )

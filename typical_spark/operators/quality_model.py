@@ -141,18 +141,22 @@ def score_documents_expr(
             )
         )
     else:
+        # explode(array(...)) Generate barrier: binds the token array
+        # once per row so the n_tokens filter cannot be pushed below the
+        # projection and re-run the tokenizer+weight transform per row
+        bound = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_tk"))
         weights = F.transform(
-            toks, lambda t: weight_fn(hashed_bucket(t, dim, reproducible))
+            F.col("_tk"), lambda t: weight_fn(hashed_bucket(t, dim, reproducible))
         )
-        n = F.size(weights)
-        score = F.aggregate(
-            weights, F.lit(0.0), lambda acc, w: acc + w
-        ) / n.cast("double")
-        out = df.select(
+        n = F.size("_tk")
+        out = bound.where(n > 0).select(
             F.col(id_col),
             n.alias("n_tokens"),
-            score.alias("score"),
-        ).where(F.col("n_tokens") > 0)
+            (
+                F.aggregate(weights, F.lit(0.0), lambda acc, w: acc + w)
+                / n.cast("double")
+            ).alias("score"),
+        )
     return out.withColumn(
         "prob", F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-10.0) * F.col("score")))
     )

@@ -94,9 +94,13 @@ class ValidationPlan:
         """
         keys = [F.col(k) for k in self.spec.key_columns]
         ann = df.select(*keys, self._violation_array().alias("_v"))
+        # no size() pre-filter: explode already drops empty arrays, and a
+        # filter here is pushed BELOW the projection by Catalyst, which
+        # duplicates the whole fused check array (every regex/range
+        # check evaluated twice per row — measured ~2x on the 16M-turn
+        # flagship row pass)
         out = (
-            ann.where(F.size("_v") > 0)
-            .select(*self.spec.key_columns, F.explode("_v").alias("v"))
+            ann.select(*self.spec.key_columns, F.explode("_v").alias("v"))
             .select(*self.spec.key_columns, "v.*")
         )
         if with_message:
