@@ -78,12 +78,17 @@ def full_validation(
     # NULL-conv spread key: non-null convs cluster whole; null convs
     # scatter by the dup key so the dup groups stay intact
     src = src.withColumn("_ns", F.when(F.col(kc).isNull(), F.col(oc)))
-    # one exchange + one sort serves both windows below (their required
-    # clustering/ordering are satisfied by this layout)
-    src = src.repartition(kc, "_ns").sortWithinPartitions(
-        kc, "_ns", oc, "ts", "role"
-    )
 
+    # The two windows are applied in sequence (separate selects) so the
+    # conv-window plans BOTTOM: EnsureRequirements then inserts at most
+    # ONE exchange — hash(conv_id, _ns) — and one sort; the dup window's
+    # clustering ((conv_id, _ns, turn_idx) ⊇ subset rule) and ordering
+    # (prefix of the conv-window's sort) are both already satisfied.
+    # When the input scan is ALREADY hash-clustered on conv_id (the
+    # bucketed bench table, or an Iceberg bucket(conv_id) layout), the
+    # subset rule elides the exchange entirely — which is why this is
+    # requirement-driven instead of an explicit repartition(), which
+    # would shuffle unconditionally.
     w_ord = Window.partitionBy(kc, "_ns").orderBy(
         F.col(oc).asc(), F.col("ts").asc(), F.col("role").asc()
     )
@@ -94,8 +99,7 @@ def full_validation(
         "*",
         F.lag(oc).over(w_ord).alias("_po"),
         F.lag("ts").over(w_ord).alias("_pts"),
-        F.row_number().over(w_dup).alias("_dr"),
-    )
+    ).select("*", F.row_number().over(w_dup).alias("_dr"))
 
     conv_nn = F.col(kc).isNotNull()
     d = F.col(oc) - F.col("_po")

@@ -223,7 +223,17 @@ def scaled_dataset(
     """Materialized factor-replicated table (see replicate_transcripts).
     Written once; scaling runs then plan against a plain parquet scan
     instead of a 16-subtree union (driver planning time must not pollute
-    a scaling measurement)."""
+    a scaling measurement).
+
+    The transcript side is served as a CLUSTERED BY (conv_id) bucketed
+    table (guide §2.4 "bucketed tables persist a partitioning across
+    jobs"): every conv-keyed operator downstream (the fused validation
+    windows) then starts from hash(conv_id)-clustered scans and skips
+    its exchange outright — the parquet stand-in for the Iceberg
+    bucket(conv_id) layout SURVEY §1.3 names. The catalog entry is
+    session-scoped (in-memory catalog), so each session re-registers the
+    existing files with one DDL; any failure in the bucketed path falls
+    back to the plain partitioned-parquet read (identical rows)."""
     import os
 
     tdir = os.path.join(cache_dir, f"transcripts_n{base_turns}_s{seed}_x{factor}")
@@ -236,7 +246,35 @@ def scaled_dataset(
         replicate_transcripts(cdf, factor).coalesce(8).write.mode(
             "overwrite"
         ).parquet(cdir)
-    return spark.read.parquet(tdir), spark.read.parquet(cdir)
+    cdf = spark.read.parquet(cdir)
+    tname = f"tx_n{base_turns}_s{seed}_x{factor}_b{buckets}"
+    bdir = os.path.join(cache_dir, tname)
+    try:
+        if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            src = spark.read.parquet(tdir)
+            (
+                src.repartition(buckets, "conv_id")
+                .write.mode("overwrite")
+                .bucketBy(buckets, "conv_id")
+                .sortBy("conv_id", "turn_idx", "ts", "role")
+                .option("path", bdir)
+                .format("parquet")
+                .saveAsTable(tname)
+            )
+        if not spark.catalog.tableExists(tname):
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.read.parquet(bdir).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE `{tname}` ({ddl}) USING parquet "
+                f"CLUSTERED BY (conv_id) "
+                f"SORTED BY (conv_id, turn_idx, ts, role) "
+                f"INTO {buckets} BUCKETS LOCATION '{bdir}'"
+            )
+        return spark.table(tname), cdf
+    except Exception:  # bucketed path unavailable -> identical plain read
+        return spark.read.parquet(tdir), cdf
 
 
 def transcripts_dataset(
