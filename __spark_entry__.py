@@ -692,19 +692,32 @@ def q_events_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(iso_duration_from_seconds(n_signed))
     tod = F.floor(F.col("value") * 80).cast("long")
     tod_str = iso_time_from_seconds(tod)
-    parsed_dur = iso_duration_seconds(dur_str)
-    # NOTE: parsed_dur is referenced twice (value + parse_ok) but this
-    # does NOT double the regex work — codegen'd subexpression
-    # elimination shares common subtrees WITHIN one projection. An
-    # explode-barrier rewrite (the net.py trick, which pays off when
-    # extraction happens in a *separate* operator) was A/B-measured 2x
-    # SLOWER here (interleaved warm min-of-3: 2.55s vs 4.8s at sf0.1) —
-    # the Generate breaks whole-stage codegen for no sharing gain.
-    return ev.select(
+    # Staged projections: the parse kernels embed their input expression
+    # per capture group, so inlining the serializer trees here multiplies
+    # serializer-tree size by the parse fan-out and the eager per-op
+    # ANALYSIS of that product tree cost ~1.6s of driver time (profiled;
+    # execution was fine — codegen CSE already shared the subtrees).
+    # Projecting the serialized strings first keeps every analyzed tree
+    # O(kernel) instead of O(kernel x fan-out); CollapseProject leaves
+    # the split in place (non-cheap refs used more than once), still one
+    # WholeStageCodegen span. An explode-barrier rewrite (the net.py
+    # trick, which pays off when extraction happens in a *separate*
+    # operator) was A/B-measured 2x SLOWER here (interleaved warm
+    # min-of-3: 2.55s vs 4.8s at sf0.1) — the Generate breaks
+    # whole-stage codegen for no sharing gain; the plain projection
+    # split keeps the exact same fused-stage execution.
+    staged = ev.select(
+        "event_id", dur_str.alias("_ds"), tod_str.alias("_ts")
+    ).select(
         "event_id",
-        parsed_dur.alias("dur_secs"),
-        parsed_dur.isNotNull().alias("parse_ok"),
-        time_of_day_seconds(tod_str).alias("tod_secs"),
+        iso_duration_seconds(F.col("_ds")).alias("dur_secs"),
+        time_of_day_seconds(F.col("_ts")).alias("tod_secs"),
+    )
+    return staged.select(
+        "event_id",
+        "dur_secs",
+        F.col("dur_secs").isNotNull().alias("parse_ok"),
+        "tod_secs",
     )
 
 

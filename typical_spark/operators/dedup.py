@@ -544,21 +544,22 @@ def dedup_groups_connected(pairs: DataFrame, max_iterations: int = 25) -> DataFr
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
-            .select(edges["src"].alias("id"), F.col("label"))
+            .select(edges["src"].alias("id"), F.col("label"), F.lit(None).alias("_old"))
         )
+        # Carry each node's OWN previous label through the same aggregate
+        # (self rows tag it in `_old`; labels are a min-semilattice so
+        # label_new <= _old always): the convergence test then reads the
+        # already-checkpointed output — a bounded scan with no shuffle —
+        # instead of re-joining new vs old labels every round (one fewer
+        # shuffle join + one fewer wide action per iteration).
         new_labels = (
-            nbr.unionAll(labels)
+            nbr.unionAll(labels.select("id", "label", F.col("label").alias("_old")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             converged = True
             break
