@@ -44,14 +44,17 @@ def full_validation(
 
       scan -> fused row-check array (text etc. never leaves the scan)
            -> broadcast-join the conversations dim (scan-local, pre-shuffle)
-           -> repartition(conv_id, _ns) + one sort
-           -> lag()      over (conv_id)            = ordering checks
-              row_number over (conv_id, turn_idx)  = keep-first dup rank
-           -> concat arrays, one explode.
+           -> conv_id IS NOT NULL: lag() over (conv_id) = ordering checks
+              + row_number over (conv_id, turn_idx) = keep-first dup rank
+              (exchange AND sort both elided on a bucketed scan sorted
+              by (conv_id, turn_idx, ts, role))
+              conv_id IS NULL: row_number over (turn_idx) only — no
+              ordering/referential checks apply, and the null rows
+              shuffle/sort just themselves
+           -> union, concat arrays, one explode.
 
-    `_ns` spreads conv_id-NULL rows by turn_idx so they cannot pin one
-    task (they need no ordering check; their dup groups are per-turn_idx
-    and stay co-located). Duplicate ranks are the plain keep-first
+    Splitting on nullability also means NULL-conv rows cannot pin one
+    task (they shuffle by the dup key). Duplicate ranks are the plain keep-first
     row_number over (ts, role) — pytest-pinned equal to the salted
     duplicate_rows output on the transcript family. `salt_buckets` is
     kept for API stability; the fused pass's only window partition key is
@@ -75,31 +78,48 @@ def full_validation(
         )
         src = src.join(F.broadcast(dim), [kc], "left")
 
-    # NULL-conv spread key: non-null convs cluster whole; null convs
-    # scatter by the dup key so the dup groups stay intact
-    src = src.withColumn("_ns", F.when(F.col(kc).isNull(), F.col(oc)))
+    # Two branches on conv_id nullability, unioned before the explode.
+    # Non-null convs (≈ the whole table) window on conv_id ALONE with
+    # order (turn_idx, ts, role): the required sort (conv_id, turn_idx,
+    # ts, role) is then EXACTLY the bucketed table's declared SORTED BY,
+    # so on a bucketed scan EnsureRequirements elides the Exchange AND
+    # the 16M-row Sort outright (the earlier single-branch shape used a
+    # synthetic NULL-spread key `_ns` as a second partition column,
+    # which kept the exchange elidable but broke the sort-prefix match —
+    # the Sort over the full table survived for no work the nulls
+    # actually needed). NULL-conv rows need no ordering/referential
+    # checks; their keep-first dup rank partitions by the dup key
+    # (turn_idx) — same groups the (_ns = turn_idx) spread produced —
+    # and they sort/shuffle only their own (typically tiny, and on the
+    # bucketed layout row-group-prunable) row set. Plain un-bucketed
+    # inputs shuffle the same total bytes as before (two exchanges over
+    # disjoint row sets) plus one extra narrow scan.
+    conv_rows = src.where(F.col(kc).isNotNull())
+    null_rows = src.where(F.col(kc).isNull())
 
-    # The two windows are applied in sequence (separate selects) so the
-    # conv-window plans BOTTOM: EnsureRequirements then inserts at most
-    # ONE exchange — hash(conv_id, _ns) — and one sort; the dup window's
-    # clustering ((conv_id, _ns, turn_idx) ⊇ subset rule) and ordering
-    # (prefix of the conv-window's sort) are both already satisfied.
-    # When the input scan is ALREADY hash-clustered on conv_id (the
-    # bucketed bench table, or an Iceberg bucket(conv_id) layout), the
-    # subset rule elides the exchange entirely — which is why this is
-    # requirement-driven instead of an explicit repartition(), which
-    # would shuffle unconditionally.
-    w_ord = Window.partitionBy(kc, "_ns").orderBy(
+    w_ord = Window.partitionBy(kc).orderBy(
         F.col(oc).asc(), F.col("ts").asc(), F.col("role").asc()
     )
-    w_dup = Window.partitionBy(kc, "_ns", oc).orderBy(
+    w_dup = Window.partitionBy(kc, oc).orderBy(
         F.col("ts").asc(), F.col("role").asc()
     )
-    ann = src.select(
+    ann_a = conv_rows.select(
         "*",
         F.lag(oc).over(w_ord).alias("_po"),
         F.lag("ts").over(w_ord).alias("_pts"),
     ).select("*", F.row_number().over(w_dup).alias("_dr"))
+
+    w_dup_null = Window.partitionBy(oc).orderBy(
+        F.col("ts").asc(), F.col("role").asc()
+    )
+    oc_type = src.schema[oc].dataType
+    ts_type = src.schema["ts"].dataType
+    ann_b = null_rows.select(
+        "*",
+        F.lit(None).cast(oc_type).alias("_po"),
+        F.lit(None).cast(ts_type).alias("_pts"),
+    ).select("*", F.row_number().over(w_dup_null).alias("_dr"))
+    ann = ann_a.unionByName(ann_b)
 
     conv_nn = F.col(kc).isNotNull()
     d = F.col(oc) - F.col("_po")

@@ -65,6 +65,14 @@ def get_spark(
         # error itself is unchanged, only the "call site" decoration is
         # dropped.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Report the per-bucket sort order of bucketed scans (Spark stopped
+        # propagating it by default in 3.0, SPARK-28595). Spark only
+        # honors it when every selected bucket holds at most ONE file —
+        # exactly what our bucketed writers produce — so window/merge
+        # plans keyed and ordered like the table's SORTED BY clause skip
+        # both their Exchange and their Sort. Scale-independent: the same
+        # elision a sorted Iceberg bucket layout gets on a cluster.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     # Shuffle/spill scratch: this sandbox's shared disk tops out well below
     # the CPUs (shuffle I/O was the non-scaling resource in profiling), so
